@@ -1,0 +1,28 @@
+from .box_convert import (
+    norm_angle,
+    regular_theta,
+    regular_obb,
+    mintheta_obb,
+    rbox_to_poly,
+    rbox_to_corners,
+    poly_to_rbox,
+    poly_to_hbox,
+    rbox_to_hbox,
+    hbox_to_rbox,
+    get_best_begin_point,
+    rbox2delta,
+    delta2rbox,
+    hbox2delta,
+    delta2hbox,
+    distance2hbox,
+    distance2obb,
+    points_in_rbox,
+    integral,
+    integral_angle,
+)
+from .box_iou_rotated import (
+    box_iou_rotated,
+    box_iou_rotated_aligned,
+    rotated_intersection_area,
+)
+from .nms_rotated import nms_rotated, ml_nms_rotated, multiclass_nms_rotated
