@@ -1,0 +1,160 @@
+"""Anchor target assignment — fixed-shape, vmappable over the batch.
+
+Masked re-expression of `anchor_target` / `anchor_target_single`
+(`python/jdet/models/boxes/anchor_target.py:18-198`): assign -> sample ->
+encode -> weight, with inside-image filtering expressed as masks instead of
+gathers, so the whole computation jit-compiles with static shapes and
+vmaps across images.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ...ops.box_convert import rbox2delta, hbox2delta
+from .assigner import max_iou_assign_rotated, max_iou_assign_hbb
+from .sampler import pseudo_sample, random_sample
+
+
+def anchor_inside_flags_rotated(anchors, valid_flags, img_shape, allowed_border):
+    """anchor_inside_flags (anchor_target.py:184-198). For rotated anchors
+    the reference checks the center-format coords the same way (its TODO
+    notes the column meaning); we test the anchor center against borders."""
+    if allowed_border < 0:
+        return valid_flags
+    h, w = img_shape
+    return (
+        valid_flags
+        & (anchors[:, 0] >= -allowed_border)
+        & (anchors[:, 1] >= -allowed_border)
+        & (anchors[:, 0] < w + allowed_border)
+        & (anchors[:, 1] < h + allowed_border)
+    )
+
+
+def anchor_target_single(
+    anchors,
+    valid_flags,
+    gt_bboxes,
+    gt_mask,
+    gt_labels,
+    *,
+    key=None,
+    target_means=(0.0,) * 5,
+    target_stds=(1.0,) * 5,
+    assigner_cfg=None,
+    sampler_cfg=None,
+    img_shape=None,
+    allowed_border=-1,
+    pos_weight=-1,
+    rotated=True,
+    reg_decoded_bbox=False,
+    iou_chunk=512,
+):
+    """Targets for one image.
+
+    Args:
+      anchors: (n, 5) rotated (or (n, 4) horizontal) anchors.
+      valid_flags: (n,) bool.
+      gt_bboxes: (k, 5)/(k, 4) padded gts; gt_mask (k,) bool; gt_labels (k,)
+        1-based class ids.
+      key: PRNG key (required for random sampler).
+
+    Returns dict of (n,)-shaped labels/label_weights, (n, 5) bbox targets
+    and weights, plus pos/neg masks.
+    """
+    assigner_cfg = dict(assigner_cfg or {})
+    sampler_type = (sampler_cfg or {}).get("type", "pseudo")
+
+    inside = anchor_inside_flags_rotated(
+        anchors, valid_flags, img_shape, allowed_border
+    ) if img_shape is not None else valid_flags
+
+    # Outside anchors are excluded pre-assignment via anchor_mask, which is
+    # equivalent to the reference slicing them out (anchor_target.py:124-130):
+    # they can neither be argmax targets nor receive step-4 gt claims.
+    if rotated:
+        assign = max_iou_assign_rotated(
+            anchors, gt_bboxes, gt_mask, gt_labels,
+            anchor_mask=inside, iou_chunk=iou_chunk, **assigner_cfg
+        )
+    else:
+        assign = max_iou_assign_hbb(
+            anchors, gt_bboxes, gt_mask, gt_labels,
+            anchor_mask=inside, **assigner_cfg
+        )
+    gt_inds = assign["gt_inds"]
+
+    if sampler_type == "random":
+        sample = random_sample(
+            assign,
+            key,
+            num=sampler_cfg["num"],
+            pos_fraction=sampler_cfg["pos_fraction"],
+            neg_pos_ub=sampler_cfg.get("neg_pos_ub", -1),
+        )
+    else:
+        sample = pseudo_sample(assign)
+
+    pos_mask = sample["pos_mask"]
+    neg_mask = sample["neg_mask"]
+
+    k = gt_bboxes.shape[0]
+    safe_gt = jnp.clip(gt_inds - 1, 0, k - 1)
+    matched_gt = gt_bboxes[safe_gt]
+    if reg_decoded_bbox:
+        bbox_targets = jnp.where(pos_mask[:, None], matched_gt, 0.0)
+    else:
+        enc = rbox2delta if rotated else hbox2delta
+        deltas = enc(anchors, matched_gt, target_means, target_stds)
+        bbox_targets = jnp.where(pos_mask[:, None], deltas, 0.0)
+    bbox_weights = jnp.where(pos_mask[:, None], 1.0, 0.0) * jnp.ones_like(
+        bbox_targets
+    )
+
+    labels = jnp.where(pos_mask, assign["labels"], 0)
+    pw = 1.0 if pos_weight <= 0 else pos_weight
+    label_weights = jnp.where(
+        pos_mask, pw, jnp.where(neg_mask, 1.0, 0.0)
+    )
+
+    return {
+        "labels": labels,
+        "label_weights": label_weights,
+        "bbox_targets": bbox_targets,
+        "bbox_weights": bbox_weights,
+        "pos_mask": pos_mask,
+        "neg_mask": neg_mask,
+        "gt_inds": gt_inds,
+    }
+
+
+def anchor_target_batch(
+    anchors,
+    valid_flags,
+    gt_bboxes,
+    gt_mask,
+    gt_labels,
+    keys=None,
+    **kw,
+):
+    """vmap anchor_target_single over the batch.
+
+    anchors/valid_flags are shared (n, ...) across images; gt_* are
+    (B, k, ...) padded per-image. Mirrors the outer `anchor_target` loop
+    (anchor_target.py:18-87) including the num_total_pos/neg reduction.
+    """
+    fn = partial(anchor_target_single, anchors, valid_flags, **kw)
+    if keys is None:
+        out = jax.vmap(lambda b, m, l: fn(b, m, l))(
+            gt_bboxes, gt_mask, gt_labels
+        )
+    else:
+        out = jax.vmap(lambda b, m, l, k: fn(b, m, l, key=k))(
+            gt_bboxes, gt_mask, gt_labels, keys
+        )
+    num_total_pos = out["pos_mask"].sum()
+    num_total_neg = out["neg_mask"].sum()
+    return out, num_total_pos, num_total_neg

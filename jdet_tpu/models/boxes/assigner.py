@@ -1,0 +1,215 @@
+"""Fixed-shape (masked) assigners — the jit-compatible re-expression of the
+reference's dynamic-shape assignment (`python/jdet/models/boxes/assigner.py`).
+
+Instead of gathering positive/negative index lists, every assigner returns
+dense per-anchor arrays:
+
+  gt_inds:      (n,) int32 — -1 ignore, 0 negative, i+1 positive for gt i
+  max_overlaps: (n,) float
+  labels:       (n,) int32 — 0 background, 1-based class for positives
+
+GT boxes arrive padded to a fixed MAX_GT with a validity mask; invalid gt
+rows never match (their IoU rows are masked to -inf).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ...ops.box_iou_rotated import box_iou_rotated
+from ...ops.box_convert import rbox_to_hbox
+
+
+def hbb_overlaps(boxes1, boxes2, mode="iou"):
+    """Pairwise IoU of horizontal x1y1x2y2 boxes, (n, m).
+
+    Mirrors `bbox_overlaps` (models/boxes/iou_calculator.py:235-350).
+    """
+    area1 = (boxes1[:, 2] - boxes1[:, 0]) * (boxes1[:, 3] - boxes1[:, 1])
+    area2 = (boxes2[:, 2] - boxes2[:, 0]) * (boxes2[:, 3] - boxes2[:, 1])
+    lt = jnp.maximum(boxes1[:, None, :2], boxes2[None, :, :2])
+    rb = jnp.minimum(boxes1[:, None, 2:4], boxes2[None, :, 2:4])
+    wh = jnp.clip(rb - lt, 0, None)
+    inter = wh[..., 0] * wh[..., 1]
+    if mode == "iou":
+        union = area1[:, None] + area2[None, :] - inter
+    elif mode == "iof":
+        union = area1[:, None] * jnp.ones_like(area2)[None, :]
+    else:
+        raise ValueError(mode)
+    return jnp.where(union > 1e-9, inter / jnp.maximum(union, 1e-9), 0.0)
+
+
+def assign_wrt_overlaps(
+    overlaps,
+    gt_mask,
+    gt_labels=None,
+    pos_iou_thr=0.5,
+    neg_iou_thr=0.4,
+    min_pos_iou=0.0,
+    gt_max_assign_all=True,
+    match_low_quality=True,
+    ignore_mask=None,
+    anchor_mask=None,
+):
+    """Masked MaxIoU assignment from a (k, n) overlap matrix.
+
+    Mirrors `MaxIoUAssigner.assign_wrt_overlaps` (assigner.py:160-221):
+      1. default -1 (ignore)
+      2. max_overlap < neg_iou_thr -> 0 (negative)
+      3. max_overlap >= pos_iou_thr -> argmax gt + 1
+      4. low-quality match: each gt claims its best anchor(s) if
+         gt_max >= min_pos_iou (later gts override earlier — loop order).
+
+    Args:
+      overlaps: (k, n) IoU of padded gts x anchors.
+      gt_mask: (k,) bool — real gt rows.
+      ignore_mask: optional (n,) bool — anchors overlapping ignore regions;
+        they stay at -1 (reference sets their IoU column to -1).
+      anchor_mask: optional (n,) bool — anchors eligible at all (inside
+        image); False entries behave as if sliced out pre-assignment
+        (anchor_target.py:124-130) and end at -1.
+    """
+    k, n = overlaps.shape
+    ov = jnp.where(gt_mask[:, None], overlaps, -jnp.inf)
+    if anchor_mask is not None:
+        ov = jnp.where(anchor_mask[None, :], ov, -jnp.inf)
+    if ignore_mask is not None:
+        ov = jnp.where(ignore_mask[None, :], -1.0, ov)
+
+    max_overlaps = ov.max(axis=0)
+    argmax_overlaps = ov.argmax(axis=0)
+    any_gt = gt_mask.any()
+    # with zero real gts, every anchor is negative
+    max_overlaps = jnp.where(any_gt, max_overlaps, 0.0)
+
+    assigned = jnp.full((n,), -1, jnp.int32)
+    if isinstance(neg_iou_thr, tuple):
+        neg = (max_overlaps >= neg_iou_thr[0]) & (max_overlaps < neg_iou_thr[1])
+    else:
+        neg = (max_overlaps >= 0) & (max_overlaps < neg_iou_thr)
+    assigned = jnp.where(neg, 0, assigned)
+
+    pos = max_overlaps >= pos_iou_thr
+    assigned = jnp.where(pos, argmax_overlaps.astype(jnp.int32) + 1, assigned)
+
+    if match_low_quality:
+        gt_max = ov.max(axis=1)  # (k,)
+        eligible_gt = gt_mask & (gt_max >= min_pos_iou) & jnp.isfinite(gt_max)
+        if gt_max_assign_all:
+            hits = (ov == gt_max[:, None]) & eligible_gt[:, None]
+        else:
+            best = ov.argmax(axis=1)
+            hits = (
+                jax.nn.one_hot(best, n, dtype=bool) & eligible_gt[:, None]
+            )
+        # reference loops gts in order; later gt overrides -> take the
+        # largest gt index claiming each anchor
+        claim = jnp.where(
+            hits, jnp.arange(k, dtype=jnp.int32)[:, None], -1
+        ).max(axis=0)
+        assigned = jnp.where(claim >= 0, claim + 1, assigned)
+
+    if ignore_mask is not None:
+        assigned = jnp.where(ignore_mask, -1, assigned)
+    if anchor_mask is not None:
+        assigned = jnp.where(anchor_mask, assigned, -1)
+
+    if gt_labels is not None:
+        safe = jnp.clip(assigned - 1, 0, k - 1)
+        labels = jnp.where(assigned > 0, gt_labels[safe], 0).astype(jnp.int32)
+    else:
+        labels = jnp.where(assigned > 0, 1, 0).astype(jnp.int32)
+    return {
+        "gt_inds": assigned,
+        "max_overlaps": max_overlaps,
+        "labels": labels,
+    }
+
+
+def max_iou_assign_rotated(
+    anchors,
+    gt_bboxes,
+    gt_mask,
+    gt_labels=None,
+    gt_bboxes_ignore=None,
+    gt_ignore_mask=None,
+    pos_iou_thr=0.5,
+    neg_iou_thr=0.4,
+    min_pos_iou=0.0,
+    gt_max_assign_all=True,
+    match_low_quality=True,
+    ignore_iof_thr=-1,
+    anchor_mask=None,
+    iou_chunk=512,
+):
+    """MaxIoUAssignerRbbox (assigner.py:222-277) in masked form.
+
+    anchors (n, 5) rboxes; gt_bboxes (k, 5) padded; gt_mask (k,) bool.
+    """
+    overlaps = box_iou_rotated(gt_bboxes, anchors, chunk=iou_chunk)
+    ignore_mask = None
+    if (
+        ignore_iof_thr > 0
+        and gt_bboxes_ignore is not None
+        and gt_ignore_mask is not None
+    ):
+        ig = box_iou_rotated(
+            anchors, gt_bboxes_ignore, mode="iof", chunk=iou_chunk
+        )
+        ig = jnp.where(gt_ignore_mask[None, :], ig, -jnp.inf)
+        ignore_mask = ig.max(axis=1) > ignore_iof_thr
+    return assign_wrt_overlaps(
+        overlaps,
+        gt_mask,
+        gt_labels,
+        pos_iou_thr,
+        neg_iou_thr,
+        min_pos_iou,
+        gt_max_assign_all,
+        match_low_quality,
+        ignore_mask,
+        anchor_mask,
+    )
+
+
+def max_iou_assign_hbb(
+    anchors,
+    gt_bboxes,
+    gt_mask,
+    gt_labels=None,
+    gt_bboxes_ignore=None,
+    gt_ignore_mask=None,
+    pos_iou_thr=0.5,
+    neg_iou_thr=0.4,
+    min_pos_iou=0.0,
+    gt_max_assign_all=True,
+    match_low_quality=True,
+    ignore_iof_thr=-1,
+    anchor_mask=None,
+):
+    """MaxIoUAssigner (assigner.py:68-221) for horizontal boxes."""
+    overlaps = hbb_overlaps(gt_bboxes, anchors)
+    ignore_mask = None
+    if (
+        ignore_iof_thr > 0
+        and gt_bboxes_ignore is not None
+        and gt_ignore_mask is not None
+    ):
+        ig = hbb_overlaps(anchors, gt_bboxes_ignore, mode="iof")
+        ig = jnp.where(gt_ignore_mask[None, :], ig, -jnp.inf)
+        ignore_mask = ig.max(axis=1) > ignore_iof_thr
+    return assign_wrt_overlaps(
+        overlaps,
+        gt_mask,
+        gt_labels,
+        pos_iou_thr,
+        neg_iou_thr,
+        min_pos_iou,
+        gt_max_assign_all,
+        match_low_quality,
+        ignore_mask,
+        anchor_mask,
+    )

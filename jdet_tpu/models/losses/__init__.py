@@ -1,0 +1,12 @@
+from .basic import (
+    sigmoid_focal_loss,
+    smooth_l1_loss,
+    l1_loss,
+    cross_entropy_loss,
+    binary_cross_entropy_loss,
+    weight_reduce_loss,
+)
+from .gaussian_dist_loss import gwd_loss, kld_loss, bcd_loss, gaussian_dist_loss
+from .kf_iou_loss import kf_iou_loss
+from .iou_loss import rotated_iou_loss
+from .smooth_focal_loss import smooth_focal_loss

@@ -1,24 +1,25 @@
-"""Rotated-box IoU — fully vectorized jnp implementation for TPU.
+"""Rotated-box IoU — exact, sort-free, fully vectorized for TPU.
 
 Computes the same quantity as the reference's Detectron2-derived CUDA kernel
-(`python/jdet/ops/box_iou_rotated.py:464-510`, algorithm shared with
-`ops/nms_rotated.py:52-258`): exact intersection area of two rotated
-rectangles via
+(`python/jdet/ops/box_iou_rotated.py:464-510`; algorithm shared with
+`ops/nms_rotated.py:52-258`): the exact intersection area of two rotated
+rectangles. The reference enumerates up-to-24 candidate points and runs a
+Graham scan per pair — inherently sequential and gather-heavy.
 
-  1. the up-to-16 edge-pair intersection points,
-  2. plus vertices of each box contained in the other (up to 8),
-  3. convex-polygon area of the valid candidate set.
+TPU-native formulation (Green's theorem + Liang–Barsky clipping):
+the boundary of P∩Q is (∂P clipped to Q) ∪ (∂Q clipped to P), each segment
+inheriting its own polygon's orientation. By Green's theorem
+  area = 1/2 ∮ x dy − y dx = 1/2 Σ_segments cross(u, v),
+summed over directed boundary segments in ANY order. Each rectangle edge's
+surviving sub-segment [t_in, t_out] against the other rectangle's four
+half-planes comes from Liang–Barsky interval clipping — closed form, no
+sorting, no gathers; just unrolled elementwise FMA over the pair-shaped
+arrays, which is exactly what the VPU wants. Differentiable everywhere the
+area is (max/min kinks only on measure-zero configurations).
 
-Instead of the sequential Graham scan used on GPU, we exploit that the
-intersection of two convex polygons is convex and every candidate point lies
-on its boundary: sorting valid candidates by angle around their centroid
-yields the correct cyclic order, and the shoelace formula gives the area.
-Duplicate candidates contribute zero area. This formulation is branch-free,
-fixed-shape, and maps onto the VPU; it is also differentiable (used by
-IoU-style losses).
-
-Inputs are (cx, cy, w, h, theta[rad]) boxes; theta convention matches the
-reference ("MODIFIED" kernel comment: angles are radians, not degrees).
+Per-candidate work is kept as separate python-level arrays so every XLA op
+carries the large pair dimensions in the minor axes (a (..., K, 2) layout
+would waste 64x of the 8x128 VPU lanes and blow up Mosaic compile time).
 """
 from __future__ import annotations
 
@@ -27,103 +28,110 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-_EPS_DET = 1e-14
+_PAR_EPS = 1e-12
 
 
-def _candidate_points(c1, c2):
-    """Candidate intersection-polygon points for corner sets.
+def _corners_xy(boxes):
+    """(..., 5) rbox -> four corner x arrays and y arrays.
 
-    c1: (..., 4, 2), c2: (..., 4, 2)  ->  pts (..., 24, 2), valid (..., 24).
+    Vertex order follows the reference `get_rotated_vertices`
+    (ops/nms_rotated.py:52-72); it is positively oriented for the cross
+    convention used below, so Green contributions from both boxes add with
+    the same sign.
     """
-    # Edge vectors (cyclic).
-    v1 = jnp.roll(c1, -1, axis=-2) - c1  # (..., 4, 2)
-    v2 = jnp.roll(c2, -1, axis=-2) - c2
+    cx = boxes[..., 0]
+    cy = boxes[..., 1]
+    w = boxes[..., 2]
+    h = boxes[..., 3]
+    a = boxes[..., 4]
+    cos2 = jnp.cos(a) * 0.5
+    sin2 = jnp.sin(a) * 0.5
+    x0 = cx - sin2 * h - cos2 * w
+    y0 = cy + cos2 * h - sin2 * w
+    x1 = cx + sin2 * h - cos2 * w
+    y1 = cy - cos2 * h - sin2 * w
+    x2 = 2 * cx - x0
+    y2 = 2 * cy - y0
+    x3 = 2 * cx - x1
+    y3 = 2 * cy - y1
+    return [x0, x1, x2, x3], [y0, y1, y2, y3]
 
-    # --- 16 edge-pair intersections -------------------------------------
-    # For edges p1_i + v1_i * t1 and p2_j + v2_j * t2.
-    p1 = c1[..., :, None, :]  # (..., 4, 1, 2)
-    p2 = c2[..., None, :, :]  # (..., 1, 4, 2)
-    d1 = v1[..., :, None, :]
-    d2 = v2[..., None, :, :]
 
-    def cross(a, b):
-        return a[..., 0] * b[..., 1] - b[..., 0] * a[..., 1]
+def _edges_green_contrib(px, py, qx, qy):
+    """Sum of cross(u, v) over P's edges clipped to rectangle Q.
 
-    det = cross(d2, d1)  # (..., 4, 4)
-    vec12 = p2 - p1
-    safe_det = jnp.where(jnp.abs(det) <= _EPS_DET, 1.0, det)
-    t1 = cross(d2, vec12) / safe_det
-    t2 = cross(d1, vec12) / safe_det
-    ok = (
-        (jnp.abs(det) > _EPS_DET)
-        & (t1 >= 0.0)
-        & (t1 <= 1.0)
-        & (t2 >= 0.0)
-        & (t2 <= 1.0)
+    px/py: P's 4 corner arrays; qx/qy: Q's corners. Q's interior is
+    {p : cross(q_edge_j, p - q_j) >= 0} for all j (positive orientation).
+    """
+    qvx = [qx[(j + 1) % 4] - qx[j] for j in range(4)]
+    qvy = [qy[(j + 1) % 4] - qy[j] for j in range(4)]
+
+    total = 0.0
+    for i in range(4):
+        ax, ay = px[i], py[i]
+        bx, by = px[(i + 1) % 4], py[(i + 1) % 4]
+        dx, dy = bx - ax, by - ay
+
+        t_lo = jnp.zeros_like(ax)
+        t_hi = jnp.ones_like(ax)
+        alive = jnp.ones_like(ax, dtype=bool)
+        on_boundary = jnp.zeros_like(ax, dtype=bool)
+        for j in range(4):
+            # f(t) = cross(qv_j, p(t) - q_j) = f0 + t * df  must stay >= 0
+            rx = ax - qx[j]
+            ry = ay - qy[j]
+            f0 = qvx[j] * ry - rx * qvy[j]
+            df = qvx[j] * dy - dx * qvy[j]
+            # scale-aware parallel / collinear tolerances
+            qnorm = jnp.abs(qvx[j]) + jnp.abs(qvy[j])
+            par = jnp.abs(df) <= 1e-6 * qnorm * (jnp.abs(dx) + jnp.abs(dy)) + _PAR_EPS
+            col = par & (
+                jnp.abs(f0)
+                <= 1e-5 * qnorm * (jnp.abs(rx) + jnp.abs(ry)) + _PAR_EPS
+            )
+            # an edge collinear with a clip line is shared boundary: both
+            # polygons traverse it, so each counts it with weight 1/2 (for
+            # coincident directions the halves sum to one; for antiparallel
+            # touching edges they cancel to zero — both exact).
+            on_boundary = on_boundary | col
+            alive = alive & jnp.where(par, col | (f0 >= 0), True)
+            tstar = -f0 / jnp.where(par, 1.0, df)
+            t_lo = jnp.where(~par & (df > 0), jnp.maximum(t_lo, tstar), t_lo)
+            t_hi = jnp.where(~par & (df < 0), jnp.minimum(t_hi, tstar), t_hi)
+
+        keep = alive & (t_lo < t_hi)
+        w = jnp.where(on_boundary, 0.5, 1.0)
+        ux = ax + t_lo * dx
+        uy = ay + t_lo * dy
+        vx = ax + t_hi * dx
+        vy = ay + t_hi * dy
+        total = total + jnp.where(keep, w * (ux * vy - vx * uy), 0.0)
+    return total
+
+
+def _intersection_area(b1, b2):
+    """Exact intersection area for broadcast-compatible (..., 5) boxes."""
+    # Recenter near the pair midpoint: Green contributions are ~|p|^2, so
+    # absolute image coordinates (~1e3) would lose fp32 precision.
+    mx = 0.5 * (b1[..., 0] + b2[..., 0])
+    my = 0.5 * (b1[..., 1] + b2[..., 1])
+
+    c1x, c1y = _corners_xy(b1)
+    c2x, c2y = _corners_xy(b2)
+    c1x = [x - mx for x in c1x]
+    c1y = [y - my for y in c1y]
+    c2x = [x - mx for x in c2x]
+    c2y = [y - my for y in c2y]
+
+    s = _edges_green_contrib(c1x, c1y, c2x, c2y) + _edges_green_contrib(
+        c2x, c2y, c1x, c1y
     )
-    ipts = p1 + d1 * t1[..., None]  # (..., 4, 4, 2)
-    ipts = ipts.reshape(*ipts.shape[:-3], 16, 2)
-    iok = ok.reshape(*ok.shape[:-2], 16)
-
-    # --- vertices of box1 inside box2 (projection test) ------------------
-    def inside(pts, corners, vecs):
-        # pts (..., 4, 2) tested against rectangle `corners` with edge
-        # vectors `vecs`; same dot-product test as the reference
-        # (nms_rotated.py:110-131).
-        ab = vecs[..., 0:1, :]  # (..., 1, 2)
-        da = vecs[..., 3:4, :]
-        ap = pts - corners[..., 0:1, :]
-        abdab = (ab * ab).sum(-1)
-        addad = (da * da).sum(-1)
-        apdab = (ap * ab).sum(-1)
-        apdad = -(ap * da).sum(-1)
-        return (apdab >= 0) & (apdad >= 0) & (apdab <= abdab) & (apdad <= addad)
-
-    in1 = inside(c1, c2, v2)  # (..., 4)
-    in2 = inside(c2, c1, v1)
-
-    pts = jnp.concatenate([ipts, c1, c2], axis=-2)  # (..., 24, 2)
-    valid = jnp.concatenate([iok, in1, in2], axis=-1)  # (..., 24)
-    return pts, valid
-
-
-def _convex_area_from_candidates(pts, valid):
-    """Area of the convex polygon spanned by valid candidate points."""
-    num = valid.sum(-1)
-    vf = valid[..., None].astype(pts.dtype)
-    denom = jnp.maximum(num, 1)[..., None, None].astype(pts.dtype)
-    center = (pts * vf).sum(-2, keepdims=True) / denom
-    rel = jnp.where(valid[..., None], pts - center, 0.0)
-    ang = jnp.arctan2(rel[..., 1], rel[..., 0])
-    # Invalid points sort last.
-    ang = jnp.where(valid, ang, jnp.inf)
-    order = jnp.argsort(ang, axis=-1)
-    rel_sorted = jnp.take_along_axis(rel, order[..., None], axis=-2)
-    valid_sorted = jnp.take_along_axis(valid, order, axis=-1)
-    # Replace the invalid tail with the first (min-angle) valid point so the
-    # shoelace cycle closes last_valid -> first_valid instead of detouring
-    # through the centroid (which would drop that closing triangle).
-    first = rel_sorted[..., 0:1, :]
-    rel_sorted = jnp.where(valid_sorted[..., None], rel_sorted, first)
-    nxt = jnp.roll(rel_sorted, -1, axis=-2)
-    cross = (
-        rel_sorted[..., 0] * nxt[..., 1] - nxt[..., 0] * rel_sorted[..., 1]
-    )
-    area = 0.5 * jnp.abs(cross.sum(-1))
-    return jnp.where(num >= 3, area, 0.0)
+    return jnp.maximum(0.5 * s, 0.0)
 
 
 def rotated_intersection_area(boxes1, boxes2):
-    """Pairwise exact intersection areas.
-
-    boxes1 (..., 5) and boxes2 (..., 5) broadcast elementwise (aligned form).
-    """
-    from .box_convert import rbox_to_corners
-
-    c1 = rbox_to_corners(boxes1)
-    c2 = rbox_to_corners(boxes2)
-    pts, valid = _candidate_points(c1, c2)
-    return _convex_area_from_candidates(pts, valid)
+    """Elementwise exact intersection areas; boxes broadcast."""
+    return _intersection_area(boxes1, boxes2)
 
 
 def _iou_from_areas(inter, area1, area2, mode="iou"):
@@ -138,30 +146,25 @@ def _iou_from_areas(inter, area1, area2, mode="iou"):
 
 def box_iou_rotated_aligned(boxes1, boxes2, mode="iou"):
     """Elementwise IoU of two equal-shaped (..., 5) box arrays."""
-    inter = rotated_intersection_area(boxes1, boxes2)
+    inter = _intersection_area(boxes1, boxes2)
     a1 = boxes1[..., 2] * boxes1[..., 3]
     a2 = boxes2[..., 2] * boxes2[..., 3]
     return _iou_from_areas(inter, a1, a2, mode)
 
 
 def _pairwise_block(boxes1, boxes2, mode):
-    b1 = boxes1[:, None, :]
-    b2 = boxes2[None, :, :]
-    inter = rotated_intersection_area(
-        jnp.broadcast_to(b1, (boxes1.shape[0], boxes2.shape[0], 5)),
-        jnp.broadcast_to(b2, (boxes1.shape[0], boxes2.shape[0], 5)),
-    )
+    inter = _intersection_area(boxes1[:, None, :], boxes2[None, :, :])
     a1 = boxes1[:, 2] * boxes1[:, 3]
     a2 = boxes2[:, 2] * boxes2[:, 3]
     return _iou_from_areas(inter, a1[:, None], a2[None, :], mode)
 
 
-def box_iou_rotated(boxes1, boxes2, mode="iou", chunk=512):
+def box_iou_rotated(boxes1, boxes2, mode="iou", chunk=4096):
     """Full pairwise IoU matrix (n, m) of rotated boxes.
 
     API mirror of the reference `box_iou_rotated(b1, b2) -> (n, m)`
-    (ops/box_iou_rotated.py:502-510). Row-chunked to bound the
-    (chunk, m, 24, 2) intermediate in VMEM/HBM.
+    (ops/box_iou_rotated.py:502-510). Row-chunked via lax.map to bound
+    live intermediates for very large n.
     """
     n = boxes1.shape[0]
     if n == 0 or boxes2.shape[0] == 0:

@@ -1,0 +1,160 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from jdet_tpu.models.losses import (
+    sigmoid_focal_loss,
+    smooth_l1_loss,
+    l1_loss,
+    cross_entropy_loss,
+    gwd_loss,
+    kld_loss,
+    bcd_loss,
+    kf_iou_loss,
+    rotated_iou_loss,
+    smooth_focal_loss,
+)
+
+rng = np.random.RandomState(5)
+
+
+def test_focal_loss_matches_manual():
+    # manual: BCE * (1-pt)^gamma * alpha_t with one-hot (label-1)
+    logits = rng.randn(6, 3).astype(np.float32)
+    labels = np.array([0, 1, 2, 3, 0, 1], np.int32)
+    out = float(
+        sigmoid_focal_loss(jnp.asarray(logits), jnp.asarray(labels), avg_factor=4)
+    )
+    p = 1 / (1 + np.exp(-logits))
+    t = np.zeros_like(logits)
+    for i, l in enumerate(labels):
+        if l > 0:
+            t[i, l - 1] = 1
+    ce = -(t * np.log(p + 1e-12) + (1 - t) * np.log(1 - p + 1e-12))
+    pt = p * t + (1 - p) * (1 - t)
+    alpha_t = 0.25 * t + 0.75 * (1 - t)
+    ref = (alpha_t * ce * (1 - pt) ** 2).sum() / 4
+    assert np.allclose(out, ref, rtol=1e-4)
+
+
+def test_focal_loss_weight_zero_masks():
+    logits = rng.randn(10, 5).astype(np.float32)
+    labels = np.ones(10, np.int32)
+    w = np.zeros(10, np.float32)
+    w[:3] = 1
+    full = float(sigmoid_focal_loss(jnp.asarray(logits[:3]), jnp.asarray(labels[:3]),
+                                    avg_factor=3))
+    masked = float(sigmoid_focal_loss(jnp.asarray(logits), jnp.asarray(labels),
+                                      weight=jnp.asarray(w), avg_factor=3))
+    assert np.allclose(full, masked, rtol=1e-5)
+
+
+def test_smooth_l1():
+    pred = jnp.asarray([0.0, 1.0, -2.0])
+    tgt = jnp.asarray([0.05, 0.0, 0.0])
+    beta = 0.5
+    out = np.asarray(smooth_l1_loss(pred, tgt, beta=beta, reduction="none"))
+    assert np.allclose(out[0], 0.5 * 0.05**2 / beta, atol=1e-6)
+    assert np.allclose(out[1], 1 - 0.5 * beta, atol=1e-6)
+    assert np.allclose(out[2], 2 - 0.5 * beta, atol=1e-6)
+
+
+def test_l1_and_avg_factor():
+    pred = jnp.ones((4, 5))
+    tgt = jnp.zeros((4, 5))
+    w = jnp.asarray([1.0, 1.0, 0.0, 0.0])
+    out = float(l1_loss(pred, tgt, weight=w, avg_factor=2))
+    assert np.allclose(out, 10.0 / 2)
+
+
+def test_cross_entropy():
+    logits = rng.randn(7, 4).astype(np.float32)
+    labels = rng.randint(0, 4, 7).astype(np.int32)
+    out = float(cross_entropy_loss(jnp.asarray(logits), jnp.asarray(labels)))
+    e = np.exp(logits - logits.max(1, keepdims=True))
+    p = e / e.sum(1, keepdims=True)
+    ref = -np.log(p[np.arange(7), labels] + 1e-12).mean()
+    assert np.allclose(out, ref, rtol=1e-4)
+
+
+def _boxes(n):
+    return np.stack(
+        [
+            rng.uniform(0, 100, n),
+            rng.uniform(0, 100, n),
+            rng.uniform(10, 50, n),
+            rng.uniform(5, 30, n),
+            rng.uniform(-np.pi / 4, 3 * np.pi / 4, n),
+        ],
+        1,
+    ).astype(np.float32)
+
+
+def test_gaussian_losses_zero_at_identity():
+    b = _boxes(20)
+    for fn, kw in [(gwd_loss, {}), (kld_loss, {}), (bcd_loss, {})]:
+        out = np.asarray(
+            fn(jnp.asarray(b), jnp.asarray(b), reduction="none", tau=0.0, **kw)
+        )
+        assert (out < 2e-2).all(), (fn.__name__, out.max())
+
+
+def test_gaussian_losses_increase_with_distance():
+    b = _boxes(10)
+    near = b.copy()
+    near[:, 0] += 2
+    far = b.copy()
+    far[:, 0] += 30
+    for fn in (gwd_loss, kld_loss, bcd_loss):
+        ln = float(fn(jnp.asarray(near), jnp.asarray(b), tau=0.0))
+        lf = float(fn(jnp.asarray(far), jnp.asarray(b), tau=0.0))
+        assert lf > ln, fn.__name__
+
+
+def test_gaussian_losses_angle_periodic():
+    # theta and theta+pi are the same box -> identical loss
+    b = _boxes(10)
+    b2 = b.copy()
+    b2[:, 4] += np.pi
+    out = np.asarray(gwd_loss(jnp.asarray(b2), jnp.asarray(b), reduction="none", tau=0.0))
+    assert (out < 2e-2).all()
+
+
+def test_gaussian_losses_grad_finite():
+    b = _boxes(8)
+    t = _boxes(8)
+    for fn in (gwd_loss, kld_loss, bcd_loss):
+        g = jax.grad(lambda p: fn(p, jnp.asarray(t)))(jnp.asarray(b))
+        assert np.isfinite(np.asarray(g)).all(), fn.__name__
+
+
+def test_kfiou_identity_and_grad():
+    b = _boxes(12)
+    pred = jnp.asarray(b)
+    # identical boxes: KFIoU of identical Gaussians = 1/3 -> loss = 2/3
+    out = float(kf_iou_loss(pred, pred, pred_decode=pred, targets_decode=pred,
+                            avg_factor=12))
+    assert np.allclose(out, 2 / 3, atol=1e-2)
+    t = jnp.asarray(_boxes(12))
+    g = jax.grad(
+        lambda p: kf_iou_loss(p, t, pred_decode=p, targets_decode=t)
+    )(pred)
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_rotated_iou_loss():
+    b = _boxes(6)
+    out = np.asarray(
+        rotated_iou_loss(jnp.asarray(b), jnp.asarray(b), mode="linear",
+                         reduction="none")
+    )
+    assert (out < 1e-3).all()
+    g = jax.grad(lambda p: rotated_iou_loss(p, jnp.asarray(b)))(jnp.asarray(b + 1))
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_smooth_focal_loss_soft_targets():
+    pred = rng.randn(5, 8).astype(np.float32)
+    tgt = rng.uniform(0, 1, (5, 8)).astype(np.float32)
+    out = float(smooth_focal_loss(jnp.asarray(pred), jnp.asarray(tgt), avg_factor=5))
+    assert np.isfinite(out) and out > 0
