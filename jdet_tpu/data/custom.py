@@ -1,0 +1,210 @@
+"""Dataset base: pkl annotations -> fixed-shape jit-ready batches.
+
+Capability mirror of the reference CustomDataset
+(`python/jdet/data/custom.py`): mmdet-style `labels.pkl` records
+{filename, width, height, ann{bboxes(n,5) rotated, labels(n,),
+bboxes_ignore, labels_ignore}} (custom.py:17-31); hboxes/polys are derived
+from rboxes (custom.py:72-73); empty-GT images are filtered (or resampled)
+(custom.py:54-63).
+
+TPU redesign of the batch contract: instead of pad-to-max ragged collate
+(custom.py:91-107) feeding per-image python dicts, batches are fully fixed
+shape — images padded to a static size and GTs padded to `max_gt` with a
+validity mask — so the whole train step jits once. IO + transforms run in
+a background prefetch thread (this host has a single core; heavy lifting
+is the device's job).
+"""
+from __future__ import annotations
+
+import os
+import pickle
+import queue
+import threading
+
+import numpy as np
+
+from ..utils.registry import DATASETS, TRANSFORMS, build_from_cfg
+from .transforms import Compose, rbox_to_poly_np
+
+
+def _imread(path):
+    import cv2
+
+    img = cv2.imread(path, cv2.IMREAD_COLOR)
+    if img is None:
+        raise FileNotFoundError(path)
+    return np.ascontiguousarray(img[..., ::-1])  # BGR -> RGB
+
+
+@DATASETS.register_module()
+class CustomDataset:
+    CLASSES = None
+
+    def __init__(
+        self,
+        annotations_file=None,
+        images_dir="",
+        transforms=None,
+        batch_size=1,
+        num_workers=2,
+        shuffle=False,
+        filter_empty_gt=True,
+        max_gt=128,
+        image_size=(1024, 1024),
+        classes=None,
+        drop_last=True,
+    ):
+        self.images_dir = images_dir
+        self.batch_size = batch_size
+        self.num_workers = num_workers
+        self.shuffle = shuffle
+        self.max_gt = max_gt
+        self.image_size = tuple(image_size)  # (w, h) static batch canvas
+        self.drop_last = drop_last
+        if classes is not None:
+            self.CLASSES = classes
+        self.transforms = (
+            transforms
+            if isinstance(transforms, Compose)
+            else Compose(transforms or [])
+        )
+        self.img_infos = []
+        if annotations_file is not None:
+            with open(annotations_file, "rb") as f:
+                self.img_infos = pickle.load(f)
+        if filter_empty_gt:
+            self.img_infos = [
+                a
+                for a in self.img_infos
+                if a.get("ann", {}).get("bboxes") is not None
+                and len(a["ann"]["bboxes"]) > 0
+            ]
+        self._epoch_seed = 0
+
+    def __len__(self):
+        return len(self.img_infos)
+
+    @property
+    def num_batches(self):
+        n = len(self) // self.batch_size
+        if not self.drop_last and len(self) % self.batch_size:
+            n += 1
+        return n
+
+    # ------------------------------------------------------------------
+    def load_sample(self, idx, rng=None):
+        info = self.img_infos[idx]
+        img = _imread(os.path.join(self.images_dir, info["filename"]))
+        ann = info.get("ann", {})
+        rboxes = np.asarray(ann.get("bboxes", np.zeros((0, 5))), np.float32).reshape(-1, 5)
+        labels = np.asarray(ann.get("labels", np.zeros((0,))), np.int32).reshape(-1)
+        rboxes_ignore = np.asarray(
+            ann.get("bboxes_ignore", np.zeros((0, 5))), np.float32
+        ).reshape(-1, 5)
+        polys = rbox_to_poly_np(rboxes)
+        target = {
+            "rboxes": rboxes,
+            "labels": labels,
+            "rboxes_ignore": rboxes_ignore,
+            "polys": polys,
+            "polys_ignore": rbox_to_poly_np(rboxes_ignore),
+            "hboxes": np.stack(
+                [polys[:, 0::2].min(1), polys[:, 1::2].min(1),
+                 polys[:, 0::2].max(1), polys[:, 1::2].max(1)], 1
+            ) if len(polys) else np.zeros((0, 4), np.float32),
+            "img_size": (img.shape[1], img.shape[0]),
+            "ori_img_size": (img.shape[1], img.shape[0]),
+            "scale_factor": 1.0,
+            "filename": info["filename"],
+            "img_id": idx,
+        }
+        img, target = self.transforms(img, target, rng=rng)
+        return img, target
+
+    # ------------------------------------------------------------------
+    def collate(self, samples):
+        """Fixed-shape batch: images to the static canvas, gts to max_gt."""
+        B = len(samples)
+        W, H = self.image_size
+        images = np.zeros((B, H, W, 3), np.float32)
+        gt_bboxes = np.zeros((B, self.max_gt, 5), np.float32)
+        gt_labels = np.zeros((B, self.max_gt), np.int32)
+        gt_mask = np.zeros((B, self.max_gt), bool)
+        metas = []
+        for i, (img, t) in enumerate(samples):
+            h, w = img.shape[:2]
+            images[i, : min(h, H), : min(w, W)] = img[:H, :W]
+            k = min(len(t["rboxes"]), self.max_gt)
+            if k:
+                gt_bboxes[i, :k] = t["rboxes"][:k]
+                gt_labels[i, :k] = t["labels"][:k]
+                gt_mask[i, :k] = True
+            metas.append(
+                {
+                    k2: t.get(k2)
+                    for k2 in (
+                        "img_size", "ori_img_size", "scale_factor",
+                        "filename", "img_id", "flip", "pad_shape",
+                        "polys", "polys_ignore", "labels",
+                    )
+                }
+            )
+        batch = {
+            "images": images,
+            "targets": {
+                "gt_bboxes": gt_bboxes,
+                "gt_labels": gt_labels,
+                "gt_mask": gt_mask,
+                "scale_factor": np.asarray(
+                    [m["scale_factor"] for m in metas], np.float32
+                ),
+            },
+        }
+        return batch, metas
+
+    # ------------------------------------------------------------------
+    def batches(self, epoch=0, seed=0):
+        """Generator of collated batches with a background prefetch thread."""
+        order = np.arange(len(self))
+        rng = np.random.default_rng(seed + epoch)
+        if self.shuffle:
+            rng.shuffle(order)
+        n = len(order)
+        if self.drop_last:
+            n = (n // self.batch_size) * self.batch_size
+        idx_batches = [
+            order[i : i + self.batch_size] for i in range(0, n, self.batch_size)
+        ]
+        if not idx_batches:
+            return
+
+        q = queue.Queue(maxsize=self.num_workers + 1)
+        stop = threading.Event()
+
+        def worker():
+            try:
+                for batch_idx in idx_batches:
+                    if stop.is_set():
+                        return
+                    samples = [self.load_sample(int(i), rng) for i in batch_idx]
+                    q.put(self.collate(samples))
+            except BaseException as e:  # surfaced on the consumer side
+                q.put(e)
+            finally:
+                q.put(None)
+
+        th = threading.Thread(target=worker, daemon=True)
+        th.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+
+    def evaluate(self, results, work_dir=None, epoch=None, **kw):
+        raise NotImplementedError

@@ -1,0 +1,2 @@
+from .runner import Runner
+from .checkpoint import save_checkpoint, load_checkpoint

@@ -1,0 +1,77 @@
+"""Checkpoint save/load: {meta, model, optimizer} with the reference's
+payload shape (`python/jdet/runner/runner.py:224-261`): meta carries
+{version, epoch, iter, max_epoch, max_iter, save_time, config}; `load`
+also accepts raw model-state checkpoints (model_only).
+
+States are nnx flat-states converted to numpy and pickled; this keeps
+checkpoints framework-local and dependency-free (orbax can be layered on
+for async multi-host writes later).
+"""
+from __future__ import annotations
+
+import os
+import pickle
+import time
+
+import numpy as np
+from flax import nnx
+
+
+def state_to_numpy(state):
+    return {
+        "/".join(map(str, path)): np.asarray(leaf.value if hasattr(leaf, "value") else leaf)
+        for path, leaf in nnx.to_flat_state(state)
+    }
+
+
+def numpy_to_state(model_or_state, flat_numpy, strict=True):
+    """Write numpy dict into an existing nnx state (by path string)."""
+    state = (
+        nnx.state(model_or_state)
+        if isinstance(model_or_state, nnx.Module)
+        else model_or_state
+    )
+    flat = nnx.to_flat_state(state)
+    missing = []
+    for path, leaf in flat:
+        key = "/".join(map(str, path))
+        if key in flat_numpy:
+            leaf.value = np.asarray(flat_numpy[key]).reshape(np.shape(leaf.value))
+        else:
+            missing.append(key)
+    if strict and missing:
+        raise KeyError(f"missing {len(missing)} keys, e.g. {missing[:5]}")
+    return state
+
+
+def save_checkpoint(path, model, optimizer=None, meta=None):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    payload = {
+        "meta": {
+            "jdet_tpu_version": "0.1.0",
+            "save_time": time.strftime("%Y-%m-%d %H:%M:%S"),
+            **(meta or {}),
+        },
+        "model": state_to_numpy(nnx.state(model)),
+    }
+    if optimizer is not None:
+        payload["optimizer"] = state_to_numpy(nnx.state(optimizer))
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        pickle.dump(payload, f, protocol=4)
+    os.replace(tmp, path)
+    return path
+
+
+def load_checkpoint(path, model, optimizer=None, model_only=False):
+    with open(path, "rb") as f:
+        payload = pickle.load(f)
+    if "model" not in payload:  # raw state_dict checkpoint
+        payload = {"model": payload, "meta": {}}
+    nnx.update(model, numpy_to_state(model, payload["model"], strict=False))
+    if optimizer is not None and not model_only and "optimizer" in payload:
+        nnx.update(
+            optimizer,
+            numpy_to_state(nnx.state(optimizer), payload["optimizer"], strict=False),
+        )
+    return payload.get("meta", {})

@@ -1,0 +1,368 @@
+"""Runner: builds everything from the global config and drives
+train/val/test with a single jit-compiled train step.
+
+Capability mirror of the reference Runner (`python/jdet/runner/runner.py`):
+ctor builds model/optimizer/scheduler/datasets/logger from cfg (:22-70);
+`run` loops epochs with eval/checkpoint intervals (:80-90); `train` logs
+FPS/ETA/losses every log_interval (:117-158); `val`/`test` run eval-mode
+inference (:171-221); `save`/`load`/`resume` manage checkpoints with
+auto-search (:224-263); `test_time` measures steps/sec (:91-115).
+
+TPU redesign: the hot loop is one jitted function (fwd+bwd+update over the
+data mesh); datasets yield fixed-shape host batches from a prefetch
+thread; eval inference is a second jitted function; rank gating uses
+jax.process_index.
+"""
+from __future__ import annotations
+
+import os
+import pickle
+import time
+
+import numpy as np
+
+from .. import data as _data  # noqa: F401 — registers DATASETS/TRANSFORMS
+from ..config import get_cfg, save_cfg
+from ..models.builder import build_detector
+from ..optim import build_lr_schedule, build_optimizer
+from ..parallel.spmd import is_main_process, make_mesh, shard_batch
+from ..utils.general import (
+    build_file,
+    check_interval,
+    parse_losses,
+    search_ckpt,
+    set_random_seed,
+)
+from ..utils.logger import RunLogger
+from ..utils.registry import DATASETS, build_from_cfg
+from .checkpoint import load_checkpoint, save_checkpoint
+
+
+class Runner:
+    def __init__(self, cfg=None, mode="whole"):
+        import jax
+        from flax import nnx
+
+        self.jax = jax
+        self.nnx = nnx
+        cfg = cfg or get_cfg()
+        self.cfg = cfg
+        self.work_dir = os.path.abspath(cfg.work_dir or "exp/default")
+        self.max_epoch = cfg.max_epoch or 0
+        self.max_iter = cfg.max_iter or 0
+        assert self.max_epoch or self.max_iter, "need max_epoch or max_iter"
+        self.checkpoint_interval = cfg.checkpoint_interval or 1
+        self.eval_interval = cfg.eval_interval
+        self.log_interval = cfg.log_interval or 50
+        if cfg.seed is not None:
+            set_random_seed(cfg.seed)
+
+        self.model = build_detector(cfg.model.dump() if hasattr(cfg.model, "dump") else dict(cfg.model), seed=cfg.seed or 0)
+
+        # datasets
+        ds_cfg = cfg.dataset or {}
+        self.train_dataset = (
+            build_from_cfg(_plain(ds_cfg.get("train")), DATASETS)
+            if ds_cfg.get("train") and mode == "whole"
+            else None
+        )
+        self.val_dataset = (
+            build_from_cfg(_plain(ds_cfg.get("val")), DATASETS)
+            if ds_cfg.get("val")
+            else None
+        )
+        self.test_dataset = (
+            build_from_cfg(_plain(ds_cfg.get("test")), DATASETS)
+            if ds_cfg.get("test")
+            else None
+        )
+
+        steps_per_epoch = (
+            self.train_dataset.num_batches if self.train_dataset else 1
+        )
+        if not self.max_iter:
+            self.max_iter = self.max_epoch * steps_per_epoch
+        if not self.max_epoch:
+            self.max_epoch = max(1, self.max_iter // max(steps_per_epoch, 1))
+
+        # optimizer + schedule
+        ocfg = _plain(cfg.optimizer) or {"type": "SGD", "lr": 0.01}
+        scfg = _plain(cfg.scheduler) or {}
+        self.lr_schedule = build_lr_schedule(
+            ocfg.get("lr", 0.01),
+            scheduler_type=scfg.get("type", "StepLR"),
+            milestones=scfg.get("milestones", ()),
+            gamma=scfg.get("gamma", 0.1),
+            steps_per_epoch=steps_per_epoch,
+            max_steps=self.max_iter,
+            warmup=scfg.get("warmup"),
+            warmup_iters=scfg.get("warmup_iters", 500),
+            warmup_ratio=scfg.get("warmup_ratio", 1.0 / 3),
+            min_lr=scfg.get("min_lr", 0.0),
+            power=scfg.get("power", 1.0),
+        )
+        self.optimizer = build_optimizer(
+            self.model,
+            opt_type=ocfg.get("type", "SGD"),
+            lr_schedule=self.lr_schedule,
+            momentum=ocfg.get("momentum", 0.9),
+            weight_decay=ocfg.get("weight_decay", 0.0001),
+            grad_clip=ocfg.get("grad_clip"),
+            frozen_stages=_plain(cfg.model).get("backbone", {}).get("frozen_stages"),
+            param_groups=ocfg.get("param_groups"),
+        )
+
+        self.mesh = make_mesh()
+        self.logger = RunLogger(self.work_dir) if is_main_process() else None
+        self.epoch = 0
+        self.iter = 0
+        if is_main_process():
+            try:
+                save_cfg(os.path.join(self.work_dir, "config.yaml"))
+            except Exception:
+                os.makedirs(self.work_dir, exist_ok=True)
+
+        if cfg.pretrained_weights:
+            self.load(cfg.pretrained_weights, model_only=True)
+        if cfg.resume_path or cfg.resume:
+            self.resume()
+
+        self._train_step = None
+        self._predict_fn = None
+
+    # ------------------------------------------------------------------
+    @property
+    def finish(self):
+        return self.epoch >= self.max_epoch
+
+    def _build_train_step(self):
+        jax, nnx = self.jax, self.nnx
+        graphdef, state = nnx.split((self.model, self.optimizer))
+
+        @jax.jit
+        def step(state, images, targets):
+            model, opt = nnx.merge(graphdef, state)
+
+            def loss_fn(m):
+                losses = m.loss(images, targets)
+                total, log_vars = parse_losses(losses)
+                return total, log_vars
+
+            (total, log_vars), grads = nnx.value_and_grad(
+                loss_fn, has_aux=True
+            )(model)
+            opt.update(model, grads)
+            _, new_state = nnx.split((model, opt))
+            return new_state, log_vars
+
+        self._graphdef = graphdef
+        self._state = state
+        self._train_step = step
+
+    def _sync_state_to_model(self):
+        if self._train_step is not None:
+            self.nnx.update(
+                (self.model, self.optimizer), self._state
+            )
+
+    def _build_predict(self):
+        jax, nnx = self.jax, self.nnx
+        graphdef, state = nnx.split(self.model)
+
+        @jax.jit
+        def predict(state, images, scale_factor):
+            m = nnx.merge(graphdef, state)
+            return m.predict(images, {"scale_factor": scale_factor})
+
+        self._predict_graphdef = graphdef
+        self._predict_fn = predict
+
+    # ------------------------------------------------------------------
+    def run(self):
+        if self.logger:
+            self.logger.print_on_screen(
+                {"work_dir": self.work_dir, "max_epoch": self.max_epoch}
+            )
+        while not self.finish:
+            self.train_epoch()
+            if check_interval(self.epoch, self.eval_interval):
+                self.val()
+            if check_interval(self.epoch, self.checkpoint_interval):
+                self.save()
+        self.test()
+
+    def train_epoch(self):
+        import jax
+
+        if self._train_step is None:
+            self._build_train_step()
+        start = time.time()
+        n_img = 0
+        for batch, metas in self.train_dataset.batches(
+            epoch=self.epoch, seed=self.cfg.seed or 0
+        ):
+            images = jax.numpy.asarray(batch["images"])
+            targets = {k: jax.numpy.asarray(v) for k, v in batch["targets"].items()}
+            self._state, log_vars = self._train_step(self._state, images, targets)
+            self.iter += 1
+            n_img += images.shape[0]
+            if check_interval(self.iter, self.log_interval) and self.logger:
+                log_vars = {k: float(v) for k, v in log_vars.items()}
+                dt = time.time() - start
+                fps = n_img / max(dt, 1e-9)
+                eta = (self.max_iter - self.iter) * dt / max(self.iter, 1)
+                self.logger.log(
+                    {
+                        "name": self.cfg.name,
+                        "epoch": self.epoch,
+                        "iter": self.iter,
+                        "lr": float(self.lr_schedule(self.iter)),
+                        "fps": round(fps, 2),
+                        "eta_min": round(eta / 60, 1),
+                        **log_vars,
+                    }
+                )
+            if self.max_iter and self.iter >= self.max_iter:
+                break
+        self.epoch += 1
+        self._sync_state_to_model()
+
+    # ------------------------------------------------------------------
+    def _run_inference(self, dataset):
+        import jax
+
+        self._sync_state_to_model()
+        if self._predict_fn is None:
+            self._build_predict()
+        _, state = self.nnx.split(self.model)
+        results = []
+        for batch, metas in dataset.batches():
+            det = self._predict_fn(
+                state,
+                jax.numpy.asarray(batch["images"]),
+                jax.numpy.asarray(batch["targets"]["scale_factor"]),
+            )
+            det = {k: np.asarray(v) for k, v in det.items()}
+            for i, meta in enumerate(metas):
+                results.append(
+                    ({k: v[i] for k, v in det.items()}, meta)
+                )
+        return results
+
+    def val(self):
+        if self.val_dataset is None or not is_main_process():
+            return {}
+        results = self._run_inference(self.val_dataset)
+        metrics = self.val_dataset.evaluate(
+            results, self.work_dir, self.epoch
+        )
+        if self.logger:
+            self.logger.log({"iter": self.iter, **metrics})
+        return metrics
+
+    def test(self):
+        if self.test_dataset is None or not is_main_process():
+            return None
+        results = self._run_inference(self.test_dataset)
+        path = build_file(
+            self.work_dir, f"test/test_{self.epoch}.pkl"
+        )
+        with open(path, "wb") as f:
+            pickle.dump(
+                [
+                    ({k: np.asarray(v) for k, v in det.items()}, _meta_light(meta))
+                    for det, meta in results
+                ],
+                f,
+            )
+        if hasattr(self.test_dataset, "save_submission"):
+            self.test_dataset.save_submission(
+                results, os.path.join(self.work_dir, "submission")
+            )
+        return path
+
+    def run_on_images(self, images_dir, save_dir=None):
+        from ..data.dota import ImageDataset
+        from ..utils.visualization import visualize_results
+
+        ds = ImageDataset(
+            images_dir=images_dir,
+            dataset_type=self.cfg.dataset_type or "DOTA",
+            transforms=_plain(self.cfg.dataset.get("test", {})).get("transforms"),
+            image_size=_plain(self.cfg.dataset.get("test", {})).get("image_size", (1024, 1024)),
+        )
+        results = self._run_inference(ds)
+        if save_dir:
+            visualize_results(results, ds.CLASSES, images_dir, save_dir)
+        return results
+
+    def test_time(self, warmup=10, rerun=100):
+        """FPS measurement (runner.py:91-115)."""
+        import jax
+
+        if self._train_step is None:
+            self._build_train_step()
+        gen = self.train_dataset.batches()
+        batch, _ = next(gen)
+        images = jax.numpy.asarray(batch["images"])
+        targets = {k: jax.numpy.asarray(v) for k, v in batch["targets"].items()}
+        for _ in range(warmup):
+            self._state, _lv = self._train_step(self._state, images, targets)
+        jax.block_until_ready(self._state)
+        t0 = time.perf_counter()
+        for _ in range(rerun):
+            self._state, _lv = self._train_step(self._state, images, targets)
+        jax.block_until_ready(self._state)
+        fps = rerun * images.shape[0] / (time.perf_counter() - t0)
+        if self.logger:
+            self.logger.print_on_screen({"FPS": round(fps, 2)})
+        return fps
+
+    # ------------------------------------------------------------------
+    def save(self):
+        if not is_main_process():
+            return None
+        self._sync_state_to_model()
+        path = build_file(
+            self.work_dir, f"checkpoints/ckpt_{self.epoch}.pkl"
+        )
+        meta = {
+            "epoch": self.epoch,
+            "iter": self.iter,
+            "max_epoch": self.max_epoch,
+            "max_iter": self.max_iter,
+            "config": self.cfg.dump() if hasattr(self.cfg, "dump") else dict(self.cfg),
+        }
+        return save_checkpoint(path, self.model, self.optimizer, meta)
+
+    def load(self, path, model_only=False):
+        meta = load_checkpoint(path, self.model, self.optimizer, model_only)
+        if not model_only:
+            self.epoch = meta.get("epoch", 0)
+            self.iter = meta.get("iter", 0)
+        self._train_step = None  # state must be re-split
+        self._predict_fn = None
+        return meta
+
+    def resume(self):
+        path = self.cfg.resume_path or search_ckpt(self.work_dir)
+        if path and os.path.exists(path):
+            self.load(path)
+            if self.logger:
+                self.logger.print_on_screen({"resumed": path})
+
+
+def _plain(obj):
+    if obj is None:
+        return {}
+    if hasattr(obj, "dump"):
+        return obj.dump()
+    return dict(obj) if isinstance(obj, dict) else obj
+
+
+def _meta_light(meta):
+    return {
+        k: v
+        for k, v in meta.items()
+        if k in ("filename", "img_id", "img_size", "scale_factor")
+    }
