@@ -146,15 +146,27 @@ def anchor_target_batch(
     (B, k, ...) padded per-image. Mirrors the outer `anchor_target` loop
     (anchor_target.py:18-87) including the num_total_pos/neg reduction.
     """
-    fn = partial(anchor_target_single, anchors, valid_flags, **kw)
-    if keys is None:
-        out = jax.vmap(lambda b, m, l: fn(b, m, l))(
-            gt_bboxes, gt_mask, gt_labels
-        )
+    per_image_anchors = anchors.ndim == 3
+    if per_image_anchors:
+        fn = partial(anchor_target_single, valid_flags=valid_flags, **kw)
+        if keys is None:
+            out = jax.vmap(lambda a, b, m, l: fn(a, gt_bboxes=b, gt_mask=m, gt_labels=l))(
+                anchors, gt_bboxes, gt_mask, gt_labels
+            )
+        else:
+            out = jax.vmap(
+                lambda a, b, m, l, k: fn(a, gt_bboxes=b, gt_mask=m, gt_labels=l, key=k)
+            )(anchors, gt_bboxes, gt_mask, gt_labels, keys)
     else:
-        out = jax.vmap(lambda b, m, l, k: fn(b, m, l, key=k))(
-            gt_bboxes, gt_mask, gt_labels, keys
-        )
+        fn = partial(anchor_target_single, anchors, valid_flags, **kw)
+        if keys is None:
+            out = jax.vmap(lambda b, m, l: fn(b, m, l))(
+                gt_bboxes, gt_mask, gt_labels
+            )
+        else:
+            out = jax.vmap(lambda b, m, l, k: fn(b, m, l, key=k))(
+                gt_bboxes, gt_mask, gt_labels, keys
+            )
     num_total_pos = out["pos_mask"].sum()
     num_total_neg = out["neg_mask"].sum()
     return out, num_total_pos, num_total_neg

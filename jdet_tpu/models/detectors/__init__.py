@@ -1,1 +1,3 @@
 from .single_stage import SingleStageDetector, RotatedRetinaNet
+from .single_stage import S2ANet
+from .two_stage import RCNN, OrientedRCNN

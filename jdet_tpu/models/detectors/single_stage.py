@@ -46,3 +46,8 @@ class SingleStageDetector(nnx.Module):
 @MODELS.register_module()
 class RotatedRetinaNet(SingleStageDetector):
     """networks/rotated_retinanet.py:8 — thin wrapper."""
+
+
+@MODELS.register_module()
+class S2ANet(SingleStageDetector):
+    """networks/s2anet.py:8 — thin wrapper; all logic in S2ANetHead."""

@@ -1,0 +1,272 @@
+"""RPN heads: classic horizontal RPN and Oriented RPN (midpoint offset).
+
+Capability mirrors of the reference proposal heads
+(`python/jdet/models/roi_heads/rpn_head.py`,
+`oriented_rpn_head.py:10-492`): a shared 3x3 conv followed by 1x1
+objectness and regression convs over horizontal anchors; proposals are
+per-level top-k -> decode -> level-offset NMS on enclosing hbbs -> top
+nms_post (oriented_rpn_head.py:128-229). The oriented variant regresses
+the 6-parameter midpoint offsets and emits rotated proposals.
+
+Fixed-shape redesign: every stage uses static budgets + validity masks;
+proposal output is (B, nms_post, 5|4) + valid.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import nnx
+
+from ..layers import normal_init
+from ..boxes.anchor_generator import AnchorGeneratorHBB
+from ..boxes.anchor_target import anchor_target_batch
+from ..boxes.coder import midpoint_offset_decode, midpoint_offset_encode
+from ..losses import binary_cross_entropy_loss, smooth_l1_loss
+from ...ops.box_convert import delta2hbox, hbox2delta, rbox_to_hbox
+from ...ops.nms import nms
+from ...utils.registry import HEADS
+
+
+DEFAULT_RPN_TRAIN_CFG = dict(
+    assigner=dict(
+        pos_iou_thr=0.7, neg_iou_thr=0.3, min_pos_iou=0.3,
+        match_low_quality=True,
+    ),
+    sampler=dict(type="random", num=256, pos_fraction=0.5, neg_pos_ub=-1),
+    allowed_border=0,
+    pos_weight=-1,
+)
+
+
+class _RPNBase(nnx.Module):
+    reg_dim = 4
+
+    def __init__(
+        self,
+        in_channels,
+        feat_channels=256,
+        anchor_scales=(8,),
+        anchor_ratios=(0.5, 1.0, 2.0),
+        anchor_strides=(4, 8, 16, 32, 64),
+        target_means=None,
+        target_stds=None,
+        nms_pre=2000,
+        nms_post=2000,
+        nms_thresh=0.8,
+        min_bbox_size=0,
+        train_cfg=None,
+        loss_weight=1.0,
+        *,
+        rngs: nnx.Rngs,
+    ):
+        self.anchor_strides = tuple(anchor_strides)
+        self.anchor_generator = AnchorGeneratorHBB(
+            strides=anchor_strides, ratios=anchor_ratios, scales=anchor_scales
+        )
+        self.num_anchors = self.anchor_generator.num_base_anchors
+        self.target_means = tuple(target_means or (0.0,) * self.reg_dim)
+        self.target_stds = tuple(target_stds or (1.0,) * self.reg_dim)
+        self.nms_pre = nms_pre
+        self.nms_post = nms_post
+        self.nms_thresh = nms_thresh
+        self.min_bbox_size = min_bbox_size
+        self.loss_weight = loss_weight
+        self.train_cfg = {**DEFAULT_RPN_TRAIN_CFG, **(train_cfg or {})}
+
+        self.rpn_conv = nnx.Conv(
+            in_channels, feat_channels, (3, 3),
+            kernel_init=normal_init(0.01), rngs=rngs,
+        )
+        self.rpn_cls = nnx.Conv(
+            feat_channels, self.num_anchors, (1, 1),
+            kernel_init=normal_init(0.01), rngs=rngs,
+        )
+        self.rpn_reg = nnx.Conv(
+            feat_channels, self.num_anchors * self.reg_dim, (1, 1),
+            kernel_init=normal_init(0.01), rngs=rngs,
+        )
+
+    def forward_single(self, x, train=False):
+        feat = jax.nn.relu(self.rpn_conv(x))
+        return self.rpn_cls(feat), self.rpn_reg(feat)
+
+    def __call__(self, feats, train: bool = False):
+        return [self.forward_single(f, train) for f in feats]
+
+    # -- anchors --------------------------------------------------------
+    def _level_anchors(self, featmap_sizes):
+        return [
+            jnp.asarray(self.anchor_generator.grid_anchors(tuple(fs), lvl))
+            for lvl, fs in enumerate(featmap_sizes)
+        ]
+
+    # -- regression target hooks (overridden by oriented variant) -------
+    def _encode(self, anchors, gts):
+        return hbox2delta(anchors, gts, self.target_means, self.target_stds)
+
+    def _decode(self, anchors, deltas):
+        return delta2hbox(anchors, deltas, self.target_means, self.target_stds)
+
+    def _gt_for_reg(self, targets):
+        return targets["gt_hboxes"]
+
+    def _proposal_hbb(self, proposals):
+        return proposals
+
+    # -- loss -----------------------------------------------------------
+    def loss(self, outs, targets, key=None):
+        featmap_sizes = [o[0].shape[1:3] for o in outs]
+        B = outs[0][0].shape[0]
+        anchors = jnp.concatenate(self._level_anchors(featmap_sizes), 0)
+        n = anchors.shape[0]
+        cls = jnp.concatenate([o[0].reshape(B, -1) for o in outs], 1)
+        reg = jnp.concatenate(
+            [o[1].reshape(B, -1, self.reg_dim) for o in outs], 1
+        )
+
+        cfg = self.train_cfg
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        keys = jax.random.split(key, B)
+        # assignment is on horizontal boxes vs gt hboxes (RPN is
+        # class-agnostic); regression targets use the subclass encoding
+        tgt, num_pos, num_neg = anchor_target_batch(
+            anchors,
+            jnp.ones(n, bool),
+            targets["gt_hboxes"],
+            targets["gt_mask"],
+            jnp.where(targets["gt_mask"], 1, 0).astype(jnp.int32),
+            keys=keys,
+            assigner_cfg=cfg["assigner"],
+            sampler_cfg=cfg["sampler"],
+            allowed_border=cfg.get("allowed_border", 0),
+            pos_weight=cfg.get("pos_weight", -1),
+            rotated=False,
+            reg_decoded_bbox=True,  # we re-encode below with subclass codec
+        )
+        num_total = jnp.maximum(num_pos + num_neg, 1).astype(cls.dtype)
+
+        loss_cls = binary_cross_entropy_loss(
+            cls,
+            (tgt["labels"] > 0),
+            weight=tgt["label_weights"],
+            avg_factor=num_total,
+        )
+
+        # re-encode regression targets against the matched rotated/h gts
+        gt_reg = self._gt_for_reg(targets)  # (B, K, d)
+        k = gt_reg.shape[1]
+        safe = jnp.clip(tgt["gt_inds"] - 1, 0, k - 1)
+        matched = jnp.take_along_axis(
+            gt_reg, safe[..., None], axis=1
+        )
+        enc = self._encode(jnp.broadcast_to(anchors, (B, n, 4)), matched)
+        pos = tgt["pos_mask"]
+        loss_reg = smooth_l1_loss(
+            reg,
+            jnp.where(pos[..., None], enc, 0.0),
+            weight=pos.astype(cls.dtype),
+            beta=1.0 / 9.0,
+            avg_factor=num_total,
+        )
+        return {
+            "loss_rpn_cls": loss_cls * self.loss_weight,
+            "loss_rpn_bbox": loss_reg * self.loss_weight,
+        }
+
+    # -- proposals ------------------------------------------------------
+    def get_proposals(self, outs):
+        """Fixed-shape proposals: (B, nms_post, reg_decode_dim) + valid +
+        scores (oriented_rpn_head.py:128-229)."""
+        featmap_sizes = [o[0].shape[1:3] for o in outs]
+        anchors_per_level = self._level_anchors(featmap_sizes)
+        B = outs[0][0].shape[0]
+
+        cand_boxes, cand_scores, cand_level = [], [], []
+        for lvl, (cls, reg) in enumerate(outs):
+            scores = jax.nn.sigmoid(cls.reshape(B, -1))
+            deltas = reg.reshape(B, -1, self.reg_dim)
+            anchors = anchors_per_level[lvl]
+            n_lvl = anchors.shape[0]
+            if self.nms_pre > 0 and n_lvl > self.nms_pre:
+                scores, topk = jax.lax.top_k(scores, self.nms_pre)
+                deltas = jnp.take_along_axis(deltas, topk[..., None], 1)
+                anchors_b = anchors[topk]
+            else:
+                anchors_b = jnp.broadcast_to(anchors, (B, n_lvl, 4))
+            boxes = self._decode(anchors_b, deltas)
+            cand_boxes.append(boxes)
+            cand_scores.append(scores)
+            cand_level.append(
+                jnp.full(scores.shape, lvl, jnp.float32)
+            )
+        boxes = jnp.concatenate(cand_boxes, 1)
+        scores = jnp.concatenate(cand_scores, 1)
+        levels = jnp.concatenate(cand_level, 1)
+
+        def _one(boxes, scores, levels):
+            hbb = self._proposal_hbb(boxes)
+            if self.min_bbox_size >= 0:
+                if boxes.shape[-1] == 5:
+                    w, h = boxes[:, 2], boxes[:, 3]
+                else:
+                    w = hbb[:, 2] - hbb[:, 0]
+                    h = hbb[:, 3] - hbb[:, 1]
+                size_ok = (w > self.min_bbox_size) & (h > self.min_bbox_size)
+            else:
+                size_ok = jnp.ones(boxes.shape[0], bool)
+            # level-offset trick: NMS within levels independently
+            span = hbb.max() - hbb.min() + 1.0
+            hbb_off = hbb + (levels * span)[:, None]
+            order, keep = nms(hbb_off, scores, self.nms_thresh, valid=size_ok)
+            sel = jnp.argsort(~keep, stable=True)[: self.nms_post]
+            idx = order[sel]
+            v = keep[sel]
+            return (
+                jnp.where(v[:, None], boxes[idx], 0.0),
+                jnp.where(v, scores[idx], 0.0),
+                v,
+            )
+
+        p_boxes, p_scores, p_valid = jax.vmap(_one)(boxes, scores, levels)
+        return {"boxes": p_boxes, "scores": p_scores, "valid": p_valid}
+
+
+@HEADS.register_module()
+class RPNHead(_RPNBase):
+    """Classic hbb RPN (reference rpn_head.py)."""
+
+
+@HEADS.register_module()
+class OrientedRPNHead(_RPNBase):
+    """Oriented RPN: 6-param midpoint-offset regression emitting rotated
+    proposals (oriented_rpn_head.py:10-492)."""
+
+    reg_dim = 6
+
+    def __init__(self, *args, target_means=None, target_stds=None, **kw):
+        super().__init__(
+            *args,
+            target_means=target_means or (0.0,) * 6,
+            target_stds=target_stds or (1.0,) * 6,
+            **kw,
+        )
+
+    def _encode(self, anchors, gt_rboxes):
+        return midpoint_offset_encode(
+            anchors, gt_rboxes, self.target_means, self.target_stds
+        )
+
+    def _decode(self, anchors, deltas):
+        return midpoint_offset_decode(
+            anchors, deltas, self.target_means, self.target_stds
+        )
+
+    def _gt_for_reg(self, targets):
+        return targets["gt_bboxes"]  # rotated gts
+
+    def _proposal_hbb(self, proposals):
+        return rbox_to_hbox(proposals)

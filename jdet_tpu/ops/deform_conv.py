@@ -1,0 +1,205 @@
+"""Deformable convolution v1/v2 — gather-based bilinear im2col + MXU matmul.
+
+TPU-native equivalent of the reference CUDA kernels
+(`python/jdet/ops/dcn_v1.py:309-652`, `ops/dcn_v2.py:11-1302`): instead of
+hand-written im2col/col2im kernels with atomic-add backward, sampling is
+expressed as 4 XLA gathers per kernel tap (bilinear corners) and the
+contraction as one (B*H*W, K*K*C) x (K*K*C, Cout) matmul that lands on the
+MXU; autodiff of gather produces exactly the scatter-add col2im backward.
+
+Offsets follow the reference channel convention: per kernel tap a (dy, dx)
+pair (dcn_v1.py AlignConv stacks [offset_y, offset_x], s2anet_head.py:706).
+Out-of-image samples contribute zero (implicit zero padding).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import nnx
+
+
+def bilinear_sample_nhwc(x, sy, sx):
+    """Sample x (B, H, W, C) at float coords sy/sx (B, ...) per batch.
+
+    Returns (B, ..., C); zero outside [0, H-1] x [0, W-1] (matching the
+    reference's deformable_im2col border handling).
+    """
+    B, H, W, C = x.shape
+    y0 = jnp.floor(sy)
+    x0 = jnp.floor(sx)
+    wy = sy - y0
+    wx = sx - x0
+
+    def gather(yi, xi):
+        inb = (yi >= 0) & (yi <= H - 1) & (xi >= 0) & (xi <= W - 1)
+        yc = jnp.clip(yi, 0, H - 1).astype(jnp.int32)
+        xc = jnp.clip(xi, 0, W - 1).astype(jnp.int32)
+        flat = x.reshape(B, H * W, C)
+        idx = yc * W + xc
+        g = jnp.take_along_axis(
+            flat, idx.reshape(B, -1, 1), axis=1
+        ).reshape(*idx.shape, C)
+        return jnp.where(inb[..., None], g, 0.0)
+
+    v00 = gather(y0, x0)
+    v01 = gather(y0, x0 + 1)
+    v10 = gather(y0 + 1, x0)
+    v11 = gather(y0 + 1, x0 + 1)
+    wy = wy[..., None]
+    wx = wx[..., None]
+    return (
+        v00 * (1 - wy) * (1 - wx)
+        + v01 * (1 - wy) * wx
+        + v10 * wy * (1 - wx)
+        + v11 * wy * wx
+    )
+
+
+def deform_conv2d(
+    x,
+    offsets,
+    weight,
+    bias=None,
+    stride=1,
+    padding=1,
+    dilation=1,
+    mask=None,
+):
+    """Deformable conv (v1; v2 when `mask` modulation given).
+
+    Args:
+      x: (B, H, W, C) NHWC.
+      offsets: (B, Ho, Wo, K*K, 2) (dy, dx) per output pixel per tap.
+      weight: (kh, kw, C, Cout) HWIO.
+      mask: optional (B, Ho, Wo, K*K) modulation (DCNv2, ops/dcn_v2.py).
+    """
+    B, H, W, C = x.shape
+    kh, kw, _, cout = weight.shape
+    Ho = (H + 2 * padding - dilation * (kh - 1) - 1) // stride + 1
+    Wo = (W + 2 * padding - dilation * (kw - 1) - 1) // stride + 1
+
+    oy = jnp.arange(Ho) * stride - padding
+    ox = jnp.arange(Wo) * stride - padding
+    ky = jnp.arange(kh) * dilation
+    kx = jnp.arange(kw) * dilation
+    # base sampling grid (Ho, Wo, K*K)
+    base_y = (oy[:, None, None, None] + ky[None, None, :, None]).reshape(
+        Ho, 1, kh, 1
+    )
+    base_x = (ox[None, :, None, None] + kx[None, None, None, :]).reshape(
+        1, Wo, 1, kw
+    )
+    base_y = jnp.broadcast_to(base_y, (Ho, Wo, kh, kw)).reshape(Ho, Wo, kh * kw)
+    base_x = jnp.broadcast_to(base_x, (Ho, Wo, kh, kw)).reshape(Ho, Wo, kh * kw)
+
+    sy = base_y[None] + offsets[..., 0]
+    sx = base_x[None] + offsets[..., 1]
+
+    sampled = bilinear_sample_nhwc(x, sy, sx)  # (B, Ho, Wo, K*K, C)
+    if mask is not None:
+        sampled = sampled * mask[..., None]
+    cols = sampled.reshape(B, Ho, Wo, kh * kw * C)
+    w2 = weight.reshape(kh * kw * C, cout)
+    out = jax.lax.dot_general(
+        cols,
+        w2,
+        (((3,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if bias is not None:
+        out = out + bias
+    return out
+
+
+class DeformConv(nnx.Module):
+    """DCN v1 module (reference `DeformConv`, ops/dcn_v1.py:652): offsets
+    come from the caller (AlignConv) or a companion conv."""
+
+    def __init__(
+        self,
+        in_channels,
+        out_channels,
+        kernel_size=3,
+        stride=1,
+        padding=1,
+        dilation=1,
+        use_bias=False,
+        *,
+        rngs: nnx.Rngs,
+    ):
+        k = kernel_size
+        init = nnx.initializers.normal(0.01)
+        self.weight = nnx.Param(
+            init(rngs.params(), (k, k, in_channels, out_channels))
+        )
+        self.bias = (
+            nnx.Param(jnp.zeros((out_channels,))) if use_bias else None
+        )
+        self.stride = stride
+        self.padding = padding
+        self.dilation = dilation
+        self.kernel_size = k
+
+    def __call__(self, x, offsets):
+        return deform_conv2d(
+            x,
+            offsets,
+            self.weight.value,
+            None if self.bias is None else self.bias.value,
+            self.stride,
+            self.padding,
+            self.dilation,
+        )
+
+
+class DCNv2(nnx.Module):
+    """Modulated deformable conv (reference `DCNv2`/`DCN`,
+    ops/dcn_v2.py:1264-1302): a companion conv predicts offsets + mask."""
+
+    def __init__(
+        self,
+        in_channels,
+        out_channels,
+        kernel_size=3,
+        stride=1,
+        padding=1,
+        dilation=1,
+        *,
+        rngs: nnx.Rngs,
+    ):
+        k = kernel_size
+        self.deform = DeformConv(
+            in_channels, out_channels, k, stride, padding, dilation,
+            use_bias=True, rngs=rngs,
+        )
+        self.conv_offset = nnx.Conv(
+            in_channels,
+            3 * k * k,
+            (k, k),
+            strides=stride,
+            padding=[(padding, padding)] * 2,
+            kernel_init=nnx.initializers.zeros,
+            bias_init=nnx.initializers.zeros,
+            rngs=rngs,
+        )
+        self.k = k
+
+    def __call__(self, x):
+        out = self.conv_offset(x)
+        k2 = self.k * self.k
+        o1, o2, m = jnp.split(out, [k2, 2 * k2], axis=-1)
+        offsets = jnp.stack([o1, o2], axis=-1)  # (B, H, W, K*K, 2) (dy, dx)
+        mask = jax.nn.sigmoid(m)
+        return deform_conv2d(
+            x,
+            offsets,
+            self.deform.weight.value,
+            self.deform.bias.value,
+            self.deform.stride,
+            self.deform.padding,
+            self.deform.dilation,
+            mask=mask,
+        )

@@ -1,0 +1,99 @@
+"""RoIAlign (horizontal + rotated) — gather-based bilinear sampling.
+
+TPU-native equivalent of the reference CUDA kernels
+(`python/jdet/ops/roi_align.py:209-301`,
+`ops/roi_align_rotated.py:258-342`, `ops/roi_align_rotated_v1.py:300-385`):
+for each RoI bin, `sampling_ratio^2` bilinear samples are averaged; for
+rotated RoIs the sampling grid is rotated by theta about the box center.
+Expressed as XLA gathers over the batched feature map — autodiff gives the
+atomic-add backward for free. Fixed shapes: rois arrive as (B, R, 5|4)
+per-image arrays (no batch-index column needed) with a validity mask;
+invalid rois produce zeros.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .deform_conv import bilinear_sample_nhwc
+
+
+def _sample_avg(feat, sy, sx):
+    """feat (B, H, W, C); sy/sx (B, R, P, P, G) -> (B, R, P, P, C) mean over G."""
+    B = feat.shape[0]
+    out = bilinear_sample_nhwc(feat, sy, sx)  # (B, R, P, P, G, C)
+    return out.mean(-2)
+
+
+def roi_align_rotated(
+    feat,
+    rois,
+    out_size=7,
+    spatial_scale=1.0,
+    sampling_ratio=2,
+    valid=None,
+):
+    """Rotated RoIAlign.
+
+    Args:
+      feat: (B, H, W, C).
+      rois: (B, R, 5) (cx, cy, w, h, theta) in image coords.
+      valid: optional (B, R) mask.
+
+    Returns (B, R, out_size, out_size, C).
+    """
+    P = out_size
+    g = sampling_ratio
+    cx = rois[..., 0] * spatial_scale
+    cy = rois[..., 1] * spatial_scale
+    w = jnp.maximum(rois[..., 2] * spatial_scale, 1.0)
+    h = jnp.maximum(rois[..., 3] * spatial_scale, 1.0)
+    theta = rois[..., 4]
+
+    bin_h = h / P  # (B, R)
+    bin_w = w / P
+    # local coords of each sample point relative to the roi center
+    py = (jnp.arange(P) + 0.5)[None, :, None] / P  # fraction along h
+    px = (jnp.arange(P) + 0.5)[None, None, :] / P
+    gy = (jnp.arange(g) + 0.5) / g
+    gx = (jnp.arange(g) + 0.5) / g
+    # per-bin sample offsets: (P, P, g, g)
+    fy = (jnp.arange(P)[:, None] + 0.0)[..., None, None]
+    fx = (jnp.arange(P)[None, :] + 0.0)[..., None, None]
+    sub_y = (fy + gy[None, None, :, None]) / P  # (P, P, g, 1) fraction in [0,1]
+    sub_x = (fx + gx[None, None, None, :]) / P  # (P, P, 1, g)
+    sub_y = jnp.broadcast_to(sub_y, (P, P, g, g)).reshape(P, P, g * g)
+    sub_x = jnp.broadcast_to(sub_x, (P, P, g, g)).reshape(P, P, g * g)
+
+    # (B, R, P, P, G) local offsets from center (y down)
+    ly = (sub_y[None, None] - 0.5) * h[..., None, None, None]
+    lx = (sub_x[None, None] - 0.5) * w[..., None, None, None]
+    cos = jnp.cos(theta)[..., None, None, None]
+    sin = jnp.sin(theta)[..., None, None, None]
+    sy = cy[..., None, None, None] + sin * lx + cos * ly
+    sx = cx[..., None, None, None] + cos * lx - sin * ly
+    # -0.5 half-pixel alignment (aligned=True convention, roi_align.py v1)
+    out = _sample_avg(feat, sy - 0.5, sx - 0.5)
+    if valid is not None:
+        out = out * valid[..., None, None, None]
+    return out
+
+
+def roi_align(
+    feat,
+    rois,
+    out_size=7,
+    spatial_scale=1.0,
+    sampling_ratio=2,
+    valid=None,
+):
+    """Horizontal RoIAlign; rois (B, R, 4) x1y1x2y2 (reference
+    ops/roi_align.py, aligned/v1 convention)."""
+    cx = (rois[..., 0] + rois[..., 2]) * 0.5
+    cy = (rois[..., 1] + rois[..., 3]) * 0.5
+    w = rois[..., 2] - rois[..., 0]
+    h = rois[..., 3] - rois[..., 1]
+    rrois = jnp.stack([cx, cy, w, h, jnp.zeros_like(w)], -1)
+    return roi_align_rotated(
+        feat, rrois, out_size, spatial_scale, sampling_ratio, valid
+    )
