@@ -75,7 +75,15 @@ def anchor_target_single(
     # Outside anchors are excluded pre-assignment via anchor_mask, which is
     # equivalent to the reference slicing them out (anchor_target.py:124-130):
     # they can neither be argmax targets nor receive step-4 gt claims.
-    if rotated:
+    assigner_type = assigner_cfg.pop("type", "max_iou")
+    if assigner_type == "atss":
+        from .assigner import atss_assign_rotated
+
+        assign = atss_assign_rotated(
+            anchors, gt_bboxes, gt_mask, gt_labels,
+            anchor_mask=inside, iou_chunk=iou_chunk, **assigner_cfg
+        )
+    elif rotated:
         assign = max_iou_assign_rotated(
             anchors, gt_bboxes, gt_mask, gt_labels,
             anchor_mask=inside, iou_chunk=iou_chunk, **assigner_cfg

@@ -213,3 +213,71 @@ def max_iou_assign_hbb(
         ignore_mask,
         anchor_mask,
     )
+
+
+def atss_assign_rotated(
+    anchors,
+    gt_bboxes,
+    gt_mask,
+    gt_labels=None,
+    num_level_anchors=None,
+    topk=9,
+    anchor_mask=None,
+    iou_chunk=4096,
+):
+    """ATSS adaptive assignment for rotated boxes — masked mirror of
+    ATSSAssignerRbbox (assigner.py:277-393): per gt, take the `topk`
+    center-closest anchors on each level as candidates; threshold =
+    mean + std of candidate IoUs; positives additionally need their
+    center inside the gt box; anchors claimed by several gts go to the
+    max-IoU one.
+    """
+    from ...ops.box_convert import points_in_rbox
+
+    n = anchors.shape[0]
+    k = gt_bboxes.shape[0]
+    ious = box_iou_rotated(gt_bboxes, anchors, chunk=iou_chunk)  # (k, n)
+    ious = jnp.where(gt_mask[:, None], ious, 0.0)
+    if anchor_mask is not None:
+        ious = jnp.where(anchor_mask[None, :], ious, 0.0)
+
+    d = anchors[None, :, :2] - gt_bboxes[:, None, :2]
+    dist = jnp.sqrt((d**2).sum(-1))  # (k, n)
+    if anchor_mask is not None:
+        dist = jnp.where(anchor_mask[None, :], dist, jnp.inf)
+
+    if num_level_anchors is None:
+        num_level_anchors = [n]
+    candidate = jnp.zeros((k, n), bool)
+    start = 0
+    for n_l in num_level_anchors:
+        sl = dist[:, start : start + n_l]
+        t = min(topk, n_l)
+        rank = jnp.argsort(jnp.argsort(sl, axis=1), axis=1)
+        candidate = candidate.at[:, start : start + n_l].set(rank < t)
+        start += n_l
+
+    cand_ious = jnp.where(candidate, ious, jnp.nan)
+    mean = jnp.nanmean(cand_ious, axis=1)
+    std = jnp.sqrt(
+        jnp.nanmean((cand_ious - mean[:, None]) ** 2, axis=1)
+    )
+    thr = mean + std  # (k,)
+
+    inside = points_in_rbox(anchors[:, :2], gt_bboxes).T  # (k, n)
+    pos_cand = (
+        candidate & (ious >= thr[:, None]) & inside & gt_mask[:, None]
+    )
+    claimed_iou = jnp.where(pos_cand, ious, -jnp.inf)
+    best_gt = claimed_iou.argmax(0).astype(jnp.int32)
+    any_pos = pos_cand.any(0)
+    assigned = jnp.where(any_pos, best_gt + 1, 0)
+    if anchor_mask is not None:
+        assigned = jnp.where(anchor_mask, assigned, -1)
+    max_overlaps = jnp.where(any_pos, claimed_iou.max(0), ious.max(0))
+    if gt_labels is not None:
+        safe = jnp.clip(assigned - 1, 0, k - 1)
+        labels = jnp.where(assigned > 0, gt_labels[safe], 0).astype(jnp.int32)
+    else:
+        labels = jnp.where(assigned > 0, 1, 0).astype(jnp.int32)
+    return {"gt_inds": assigned, "max_overlaps": max_overlaps, "labels": labels}

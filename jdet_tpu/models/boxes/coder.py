@@ -174,36 +174,45 @@ def gv_ratio_encode(hbbs, polys):
 
 
 class CSLCoder:
-    """Circular Smooth Label angle coder (coder.py:521-604): angle ->
-    Gaussian-smoothed one-hot over `omega`-degree bins."""
+    """Circular Smooth Label angle coder — exact mirror of the reference
+    (coder.py:521-604): input angle (radians, canonical [-pi/4, 3pi/4)
+    range, offset 45 deg) -> Gaussian/triangle/pulse-smoothed circular
+    labels over `180/omega` bins; decode = (argmax + 0.5) * omega - 45 deg.
+    Note the reference head feeds the *encoded delta angle* (da) through
+    this coder (csl_rretina_head.py:574-578, 393-395) — we preserve that.
+    """
 
-    def __init__(self, angle_version="le90", omega=1, window="gaussian", radius=6):
+    def __init__(self, omega=1, window="gaussian", radius=6):
+        assert window in ("gaussian", "triangle", "rect", "pulse")
+        self.angle_range = 180
+        self.angle_offset = 45
         self.omega = omega
         self.window = window
         self.radius = radius
-        self.angle_version = angle_version
-        # le90: theta in [-pi/2, pi/2); le135: [-pi/4, 3pi/4)
-        self.angle_range = 180
-        self.angle_offset = {"oc": 90, "le90": 90, "le135": 45}[angle_version]
-        self.coding_len = self.angle_range // omega
+        self.coding_len = int(self.angle_range // omega)
 
     def encode(self, angle):
-        """angle (rad) -> (..., coding_len) smooth labels."""
-        deg = jnp.degrees(angle) + self.angle_offset  # [0, 180)
-        idx = deg / self.omega
+        """angle (..., ) rad -> (..., coding_len) smooth circular labels."""
+        deg = jnp.degrees(angle)
+        center = jnp.floor((deg + self.angle_offset) / self.omega)
         bins = jnp.arange(self.coding_len, dtype=angle.dtype)
-        d = jnp.abs(bins[None, :] - idx[..., None])
-        d = jnp.minimum(d, self.coding_len - d)  # circular distance
+        d = bins[None, :] - center[..., None]
+        d = (d + self.coding_len / 2) % self.coding_len - self.coding_len / 2
         if self.window == "gaussian":
             smooth = jnp.exp(-(d**2) / (2 * self.radius**2))
         elif self.window == "triangle":
-            smooth = jnp.clip(1 - d / self.radius, 0, None)
+            smooth = jnp.where(
+                jnp.abs(d) < self.radius,
+                1.0 - jnp.abs(d) / self.radius, 0.0,
+            )
+        elif self.window == "rect":
+            smooth = (jnp.abs(d) < self.radius).astype(angle.dtype)
         else:  # pulse
-            smooth = (d < 0.5).astype(angle.dtype)
+            smooth = (jnp.abs(d) < 0.5).astype(angle.dtype)
         return smooth
 
     def decode(self, logits):
         """(..., coding_len) -> angle (rad)."""
         idx = logits.argmax(-1).astype(logits.dtype)
-        deg = idx * self.omega - self.angle_offset
+        deg = ((idx + 0.5) * self.omega) % self.angle_range - self.angle_offset
         return jnp.radians(deg)

@@ -1,3 +1,4 @@
 from .single_stage import SingleStageDetector, RotatedRetinaNet
 from .single_stage import S2ANet
 from .two_stage import RCNN, OrientedRCNN
+from .single_stage import FCOS

@@ -51,3 +51,8 @@ class RotatedRetinaNet(SingleStageDetector):
 @MODELS.register_module()
 class S2ANet(SingleStageDetector):
     """networks/s2anet.py:8 — thin wrapper; all logic in S2ANetHead."""
+
+
+@MODELS.register_module()
+class FCOS(SingleStageDetector):
+    """networks/fcos.py:5 — thin wrapper."""

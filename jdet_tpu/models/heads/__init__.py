@@ -2,3 +2,8 @@ from .rotated_retina_head import RotatedRetinaHead
 from .s2anet_head import S2ANetHead
 from .rpn_heads import RPNHead, OrientedRPNHead
 from .oriented_head import OrientedHead
+from .rotated_retina_head import (
+    GWDRetinaHead, KLDRetinaHead, KFIoURRetinaHead, RotatedATSSHead,
+)
+from .csl_retina_head import CSLRRetinaHead
+from .fcos_head import FCOSHead

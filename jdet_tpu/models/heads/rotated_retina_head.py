@@ -177,7 +177,19 @@ class RotatedRetinaHead(nnx.Module):
         anchors = jnp.asarray(self._flat_anchors(featmap_sizes))
         cls_scores, bbox_preds = self._flatten_outs(outs)
 
+        bbox_loss_type = self.loss_bbox_cfg.get("type", "smooth_l1")
+        reg_decoded = bbox_loss_type in ("gwd", "kld", "bcd", "iou")
+
         tcfg = self.train_cfg
+        assigner_cfg = dict(tcfg["assigner"])
+        if assigner_cfg.get("type") == "atss":
+            assigner_cfg.setdefault(
+                "num_level_anchors",
+                [
+                    int(fs[0]) * int(fs[1]) * self.num_anchors
+                    for fs in featmap_sizes
+                ],
+            )
         tgt, num_pos, num_neg = anchor_target_batch(
             anchors,
             jnp.ones(anchors.shape[0], bool),
@@ -186,10 +198,11 @@ class RotatedRetinaHead(nnx.Module):
             targets["gt_labels"],
             target_means=self.target_means,
             target_stds=self.target_stds,
-            assigner_cfg=tcfg["assigner"],
+            assigner_cfg=assigner_cfg,
             allowed_border=tcfg.get("allowed_border", -1),
             pos_weight=tcfg.get("pos_weight", -1),
             rotated=True,
+            reg_decoded_bbox=reg_decoded,
         )
         num_total = jnp.maximum(num_pos, 1).astype(cls_scores.dtype)
         loss_cls = sigmoid_focal_loss(
@@ -200,14 +213,78 @@ class RotatedRetinaHead(nnx.Module):
             alpha=self.loss_cls_cfg.get("alpha", 0.25),
             avg_factor=num_total,
         ) * self.loss_cls_cfg.get("loss_weight", 1.0)
-        loss_bbox = smooth_l1_loss(
-            bbox_preds,
-            tgt["bbox_targets"],
-            weight=tgt["bbox_weights"],
-            beta=self.loss_bbox_cfg.get("beta", 1.0 / 9.0),
-            avg_factor=num_total,
+        loss_bbox = self._bbox_loss(
+            anchors, bbox_preds, tgt, num_total
         ) * self.loss_bbox_cfg.get("loss_weight", 1.0)
         return {"loss_cls": loss_cls, "loss_bbox": loss_bbox}
+
+    def _bbox_loss(self, anchors, bbox_preds, tgt, num_total):
+        """Regression loss dispatch — capability mirror of the loss-variant
+        head family (KFIoURRetinaHead: kfiou_rotated_retina_head.py;
+        GWD/KLD via GDLoss configs on RotatedRetinaHead)."""
+        cfg = self.loss_bbox_cfg
+        kind = cfg.get("type", "smooth_l1")
+        w1 = tgt["bbox_weights"][..., 0]
+        if kind == "smooth_l1":
+            return smooth_l1_loss(
+                bbox_preds,
+                tgt["bbox_targets"],
+                weight=tgt["bbox_weights"],
+                beta=cfg.get("beta", 1.0 / 9.0),
+                avg_factor=num_total,
+            )
+        if kind in ("gwd", "kld", "bcd"):
+            from ..losses import gaussian_dist_loss
+
+            decoded = delta2rbox(
+                anchors[None], bbox_preds, self.target_means, self.target_stds
+            )
+            flat_p = decoded.reshape(-1, 5)
+            flat_t = tgt["bbox_targets"].reshape(-1, 5)
+            return gaussian_dist_loss(
+                flat_p,
+                flat_t,
+                loss_type=kind,
+                weight=w1.reshape(-1),
+                fun=cfg.get("fun", "log1p"),
+                tau=cfg.get("tau", 1.0),
+                avg_factor=num_total,
+            )
+        if kind == "kfiou":
+            from ..losses import kf_iou_loss
+
+            # encoded pred/target xy + decoded Gaussians (kf_iou_loss.py)
+            decoded_p = delta2rbox(
+                anchors[None], bbox_preds, self.target_means, self.target_stds
+            )
+            decoded_t = delta2rbox(
+                anchors[None],
+                tgt["bbox_targets"],
+                self.target_means,
+                self.target_stds,
+            )
+            return kf_iou_loss(
+                bbox_preds.reshape(-1, 5),
+                tgt["bbox_targets"].reshape(-1, 5),
+                pred_decode=decoded_p.reshape(-1, 5),
+                targets_decode=decoded_t.reshape(-1, 5),
+                weight=w1.reshape(-1),
+                avg_factor=num_total,
+            )
+        if kind == "iou":
+            from ..losses import rotated_iou_loss
+
+            decoded = delta2rbox(
+                anchors[None], bbox_preds, self.target_means, self.target_stds
+            )
+            return rotated_iou_loss(
+                decoded.reshape(-1, 5),
+                tgt["bbox_targets"].reshape(-1, 5),
+                weight=w1.reshape(-1),
+                mode=cfg.get("mode", "log"),
+                avg_factor=num_total,
+            )
+        raise ValueError(kind)
 
     # ------------------------------------------------------------------
     def predict(self, outs, targets=None):
@@ -271,3 +348,50 @@ class RotatedRetinaHead(nnx.Module):
         if train:
             return self.loss(outs, targets)
         return self.predict(outs, targets)
+
+
+@HEADS.register_module()
+class GWDRetinaHead(RotatedRetinaHead):
+    """GWD loss variant (reference GWD configs: GDLoss('gwd') on
+    RotatedRetinaHead, losses/gaussian_dist_loss.py)."""
+
+    def __init__(self, *a, loss_bbox=None, **kw):
+        super().__init__(
+            *a, loss_bbox=loss_bbox or dict(type="gwd", tau=1.0,
+                                            loss_weight=1.0), **kw
+        )
+
+
+@HEADS.register_module()
+class KLDRetinaHead(RotatedRetinaHead):
+    """KLD loss variant (losses/gaussian_dist_loss.py kld)."""
+
+    def __init__(self, *a, loss_bbox=None, **kw):
+        super().__init__(
+            *a, loss_bbox=loss_bbox or dict(type="kld", tau=1.0,
+                                            loss_weight=1.0), **kw
+        )
+
+
+@HEADS.register_module()
+class KFIoURRetinaHead(RotatedRetinaHead):
+    """KFIoU loss variant (reference kfiou_rotated_retina_head.py)."""
+
+    def __init__(self, *a, loss_bbox=None, **kw):
+        super().__init__(
+            *a, loss_bbox=loss_bbox or dict(type="kfiou", loss_weight=1.0),
+            **kw
+        )
+
+
+@HEADS.register_module()
+class RotatedATSSHead(RotatedRetinaHead):
+    """ATSS adaptive-assignment variant (reference rotated_atss_head.py,
+    ATSSAssignerRbbox assigner.py:277-393). Architecture identical to
+    RotatedRetinaHead; the assigner picks topk-center candidates with a
+    mean+std IoU threshold. Typically used with 1 anchor per location."""
+
+    def __init__(self, *a, train_cfg=None, **kw):
+        tc = dict(train_cfg or {})
+        tc.setdefault("assigner", dict(type="atss", topk=9))
+        super().__init__(*a, train_cfg=tc, **kw)
