@@ -1,0 +1,70 @@
+# DOTA-1.0 tiled dataset (1024x1024, gap 200) — shared dataset config.
+# Paths follow the reference layout (preprocessed with tools/preprocess.py).
+dataset_root = "data/dota_1024"
+
+_train_transforms = [
+    dict(type="RotatedResize", min_size=1024, max_size=1024),
+    dict(type="RotatedRandomFlip", prob=0.5),
+    dict(type="Normalize", mean=[123.675, 116.28, 103.53],
+         std=[58.395, 57.12, 57.375], to_bgr=False),
+]
+_test_transforms = [
+    dict(type="RotatedResize", min_size=1024, max_size=1024),
+    dict(type="Normalize", mean=[123.675, 116.28, 103.53],
+         std=[58.395, 57.12, 57.375], to_bgr=False),
+]
+
+dataset = dict(
+    train=dict(
+        type="DOTADataset",
+        version="1",
+        annotations_file=dataset_root + "/trainval/labels.pkl",
+        images_dir=dataset_root + "/trainval/images",
+        transforms=_train_transforms,
+        image_size=(1024, 1024),
+        max_gt=512,
+        batch_size=4,
+        shuffle=True,
+    ),
+    val=dict(
+        type="DOTADataset",
+        version="1",
+        annotations_file=dataset_root + "/trainval/labels.pkl",
+        images_dir=dataset_root + "/trainval/images",
+        transforms=_test_transforms,
+        image_size=(1024, 1024),
+        max_gt=512,
+        batch_size=4,
+        filter_empty_gt=False,
+        drop_last=False,
+    ),
+    test=dict(
+        type="ImageDataset",
+        dataset_type="DOTA",
+        images_dir=dataset_root + "/test/images",
+        transforms=_test_transforms,
+        image_size=(1024, 1024),
+        batch_size=4,
+        drop_last=False,
+    ),
+)
+
+preprocess = dict(
+    dataset_type="DOTA",
+    subsize=1024,
+    gap=200,
+    rates=[1.0],
+    tasks=[
+        dict(image_dir="data/dota/trainval/images",
+             label_dir="data/dota/trainval/labelTxt",
+             out_dir=dataset_root + "/trainval"),
+        dict(image_dir="data/dota/test/images", label_dir=None,
+             out_dir=dataset_root + "/test"),
+    ],
+)
+
+max_epoch = 12
+log_interval = 50
+checkpoint_interval = 1
+eval_interval = 12
+seed = 0

@@ -2,3 +2,5 @@ from .single_stage import SingleStageDetector, RotatedRetinaNet
 from .single_stage import S2ANet
 from .two_stage import RCNN, OrientedRCNN
 from .single_stage import FCOS
+from .two_stage import FasterRCNNOBB, GlidingVertex, RoITransformer
+from .two_stage import StripRCNN

@@ -67,3 +67,23 @@ class RCNN(nnx.Module):
 class OrientedRCNN(RCNN):
     """networks/oriented_rcnn.py:6 — RCNN with OrientedRPNHead +
     OrientedHead."""
+
+
+@MODELS.register_module()
+class FasterRCNNOBB(RCNN):
+    """networks/faster_rcnn_obb.py:9 — hbb RPN + OBB-regressing head."""
+
+
+@MODELS.register_module()
+class GlidingVertex(RCNN):
+    """networks/gliding_vertex.py:6 — RCNN with GlidingHead."""
+
+
+@MODELS.register_module()
+class RoITransformer(RCNN):
+    """networks/roi_transformer.py — RCNN with the RoITransHead cascade."""
+
+
+@MODELS.register_module()
+class StripRCNN(RCNN):
+    """networks/strip_rcnn.py:6 — StripNet backbone + StripHead."""

@@ -7,3 +7,5 @@ from .rotated_retina_head import (
 )
 from .csl_retina_head import CSLRRetinaHead
 from .fcos_head import FCOSHead
+from .obb_roi_heads import FasterrcnnHead, GlidingHead, RoITransHead
+from .obb_roi_heads import StripHead

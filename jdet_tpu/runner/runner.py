@@ -229,24 +229,35 @@ class Runner:
 
     # ------------------------------------------------------------------
     def _run_inference(self, dataset):
+        """Eval-mode inference, optionally with flip TTA (reference
+        flip_test H/V/HV loop, runner.py:201-215: extra passes on flipped
+        images whose detections are unflipped back)."""
         import jax
 
         self._sync_state_to_model()
         if self._predict_fn is None:
             self._build_predict()
         _, state = self.nnx.split(self.model)
+        flip_modes = list(self.cfg.flip_test or [])
         results = []
         for batch, metas in dataset.batches():
-            det = self._predict_fn(
-                state,
-                jax.numpy.asarray(batch["images"]),
-                jax.numpy.asarray(batch["targets"]["scale_factor"]),
-            )
-            det = {k: np.asarray(v) for k, v in det.items()}
-            for i, meta in enumerate(metas):
-                results.append(
-                    ({k: v[i] for k, v in det.items()}, meta)
-                )
+            images = jax.numpy.asarray(batch["images"])
+            sf = jax.numpy.asarray(batch["targets"]["scale_factor"])
+            variants = [(None, images)]
+            for mode in flip_modes:
+                v = images
+                if "H" in mode:
+                    v = v[:, :, ::-1]
+                if "V" in mode:
+                    v = v[:, ::-1]
+                variants.append((mode, v))
+            for mode, imgs in variants:
+                det = self._predict_fn(state, imgs, sf)
+                det = {k: np.asarray(v) for k, v in det.items()}
+                if mode is not None:
+                    det = _unflip_dets(det, mode, images.shape[2], images.shape[1])
+                for i, meta in enumerate(metas):
+                    results.append(({k: v[i] for k, v in det.items()}, meta))
         return results
 
     def val(self):
@@ -350,6 +361,24 @@ class Runner:
             self.load(path)
             if self.logger:
                 self.logger.print_on_screen({"resumed": path})
+
+
+def _unflip_dets(det, mode, width, height):
+    """Map detections from a flipped image back (data_merge.py:14-27
+    unflip semantics; rbox flip formulas from transforms.py:393-398)."""
+    boxes = det["boxes"].copy()
+    polys = det["polys"].copy()
+    if "H" in mode:
+        boxes[..., 0] = width - boxes[..., 0] - 1
+        boxes[..., 4] = (np.pi - boxes[..., 4] + np.pi / 4) % np.pi - np.pi / 4
+        polys[..., 0::2] = width - polys[..., 0::2] - 1
+    if "V" in mode:
+        boxes[..., 1] = height - boxes[..., 1] - 1
+        boxes[..., 4] = (-boxes[..., 4] + np.pi / 4) % np.pi - np.pi / 4
+        polys[..., 1::2] = height - polys[..., 1::2] - 1
+    det["boxes"] = boxes
+    det["polys"] = polys
+    return det
 
 
 def _plain(obj):

@@ -1,0 +1,177 @@
+"""Tiling preprocessor, polygon devkit, merge pipeline."""
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from jdet_tpu.data.devkits.polygon import (
+    poly_iou,
+    poly_iou_aligned,
+    nms_poly_np,
+    quad_area,
+)
+from jdet_tpu.data.devkits.tiling import (
+    window_grid,
+    split_objects_for_window,
+    split_single_image,
+    convert_to_pkl,
+    parse_dota_label,
+)
+from jdet_tpu.data.devkits.result_merge import (
+    parse_tile_name,
+    merge_results,
+    write_dota_submission,
+)
+
+rng = np.random.RandomState(13)
+
+
+def rect_poly(cx, cy, w, h):
+    return np.array(
+        [cx - w / 2, cy - h / 2, cx + w / 2, cy - h / 2,
+         cx + w / 2, cy + h / 2, cx - w / 2, cy + h / 2], np.float64
+    )
+
+
+def test_poly_iou_exact():
+    p1 = rect_poly(10, 10, 10, 10)[None]
+    p2 = rect_poly(15, 10, 10, 10)[None]
+    iou = poly_iou(p1, p2)
+    assert np.allclose(iou[0, 0], 50 / 150, atol=1e-6)
+    assert np.allclose(poly_iou(p1, p1)[0, 0], 1.0, atol=1e-9)
+
+
+def test_poly_iou_rotated_quads():
+    # diamond vs its bounding square: inter = diamond area = 1/2 square
+    sq = rect_poly(0, 0, 2, 2)[None]
+    diamond = np.array([[0, -1, 1, 0, 0, 1, -1, 0]], np.float64)
+    iou = poly_iou(sq, diamond)[0, 0]
+    assert np.allclose(iou, 2 / 4, atol=1e-9)
+
+
+def test_nms_poly():
+    polys = np.stack([
+        rect_poly(10, 10, 10, 10),
+        rect_poly(11, 10, 10, 10),
+        rect_poly(40, 40, 10, 10),
+    ])
+    scores = np.array([0.9, 0.8, 0.7])
+    keep = nms_poly_np(polys, scores, 0.3)
+    assert sorted(keep.tolist()) == [0, 2]
+
+
+def test_window_grid():
+    # 2048 wide, subsize 1024, gap 200 -> starts 0, 824, 1024 (last window)
+    ws = window_grid(2048, 1024, 1024, 200)
+    lefts = sorted({l for l, u in ws})
+    assert lefts[0] == 0 and lefts[-1] == 1024
+    assert all(l + 1024 <= 2048 or l == 1024 for l in lefts)
+    # small image: single window at 0
+    assert window_grid(512, 512, 1024, 200) == [(0, 0)]
+
+
+def test_split_objects_rules():
+    polys = np.stack([
+        rect_poly(100, 100, 40, 20),   # fully inside
+        rect_poly(1020, 100, 60, 30),  # cut by right edge (half in)
+        rect_poly(2000, 2000, 40, 40), # outside
+    ])
+    names = ["plane", "ship", "car"]
+    diffs = [0, 0, 0]
+    out = split_objects_for_window(
+        polys, names, diffs, 0, 0, 1024, 1024, 1024, thresh=0.7
+    )
+    assert len(out) == 2
+    by_name = {n: (p, d) for p, n, d in out}
+    # fully-inside object keeps its exact poly
+    assert np.allclose(by_name["plane"][0], polys[0], atol=1e-4)
+    assert by_name["plane"][1] == 0
+    # cut object is clipped to the window and marked difficult=2
+    # (990..1050 clipped to 990..1024 -> 34/60 = 57% < thresh)
+    p, d = by_name["ship"]
+    assert d == 2
+    assert p[0::2].max() <= 1024 + 1e-6
+
+
+def test_split_and_convert_roundtrip(tmp_path):
+    import cv2
+
+    img = (rng.rand(1400, 1600, 3) * 255).astype(np.uint8)
+    polys = np.stack([
+        rect_poly(200, 200, 80, 40),
+        rect_poly(900, 700, 60, 60),
+        rect_poly(1500, 1300, 50, 30),
+    ])
+    names = ["plane", "ship", "plane"]
+    diffs = [0, 0, 1]
+    tiles = split_single_image(
+        img, polys, names, diffs, "P0001",
+        str(tmp_path / "images"), str(tmp_path / "labelTxt"),
+        subsize=1024, gap=200,
+    )
+    assert len(tiles) == 4  # 2x2 windows
+    # every tile image exists at the right size
+    for t in tiles:
+        im = cv2.imread(str(tmp_path / "images" / (t + ".png")))
+        assert im.shape == (1024, 1024, 3)
+    # object 1 at (200, 200) appears unclipped in tile (0, 0)
+    p, n, d = parse_dota_label(
+        str(tmp_path / "labelTxt" / (tiles[0] + ".txt"))
+    )
+    assert "plane" in n
+    # convert to pkl
+    pkl = convert_to_pkl(
+        str(tmp_path), str(tmp_path / "labels.pkl"),
+        ["plane", "ship"], filter_empty_gt=True,
+    )
+    with open(pkl, "rb") as f:
+        recs = pickle.load(f)
+    assert len(recs) >= 1
+    r = recs[0]
+    assert r["ann"]["bboxes"].shape[1] == 5
+    assert set(np.unique(r["ann"]["labels"])) <= {1, 2}
+
+
+def test_parse_tile_name():
+    assert parse_tile_name("P0001__1.0__512___824") == ("P0001", 1.0, 512, 824)
+    assert parse_tile_name("P00__05__1.5__0___0") == ("P00__05", 1.5, 0, 0)
+    assert parse_tile_name("plain") == ("plain", 1.0, 0, 0)
+
+
+def test_merge_results_dedup():
+    # same object seen in two overlapping tiles -> one merged detection
+    det1 = {
+        "polys": rect_poly(900, 100, 40, 20)[None].astype(np.float32),
+        "scores": np.array([0.9], np.float32),
+        "labels": np.array([0]),
+        "valid": np.array([True]),
+    }
+    det2 = {
+        "polys": rect_poly(76, 100, 40, 20)[None].astype(np.float32),
+        "scores": np.array([0.8], np.float32),
+        "labels": np.array([0]),
+        "valid": np.array([True]),
+    }
+    results = [
+        (det1, {"filename": "P0001__1.0__0___0.png"}),
+        (det2, {"filename": "P0001__1.0__824___0.png"}),
+    ]
+    merged = merge_results(results, ["plane"], iou_thr=0.3)
+    dets = merged["P0001"]["plane"]
+    assert dets.shape == (1, 9)
+    assert abs(dets[0, 8] - 0.9) < 1e-6  # higher score kept
+    assert abs((dets[0, 0] + dets[0, 2]) / 2 - 900) < 1e-3
+
+
+def test_write_submission(tmp_path):
+    merged = {"P0001": {"plane": np.concatenate(
+        [rect_poly(10, 10, 4, 4)[None], [[0.5]]], 1)}}
+    files = write_dota_submission(
+        merged, ["plane", "ship"], str(tmp_path),
+        zip_path=str(tmp_path / "sub.zip"),
+    )
+    assert len(files) == 2
+    content = open(files[0]).read()
+    assert content.startswith("P0001 0.5000")
+    assert os.path.exists(tmp_path / "sub.zip")
