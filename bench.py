@@ -19,7 +19,7 @@ def main():
     from flax import nnx
     from __graft_entry__ import _build_model, _synth_batch
 
-    B = 4
+    B = 8
     SIZE = 1024
     model = _build_model(depth=50, size=SIZE)
     opt = nnx.Optimizer(model, optax.sgd(0.01, momentum=0.9), wrt=nnx.Param)
@@ -39,18 +39,19 @@ def main():
         _, new_state = nnx.split((m, o))
         return loss, new_state
 
-    # warmup/compile
+    # warmup/compile (device_get forces real completion; on the axon
+    # backend block_until_ready can return before execution finishes)
     loss, state = step(state, images, targets)
-    loss.block_until_ready()
-    for _ in range(2):
+    jax.device_get(loss)
+    for _ in range(3):
         loss, state = step(state, images, targets)
-    loss.block_until_ready()
+    jax.device_get(loss)
 
-    n_steps = 20
+    n_steps = 30
     t0 = time.perf_counter()
     for _ in range(n_steps):
         loss, state = step(state, images, targets)
-    loss.block_until_ready()
+    jax.device_get(loss)
     dt = time.perf_counter() - t0
 
     tiles_per_sec = B * n_steps / dt

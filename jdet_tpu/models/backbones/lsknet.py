@@ -25,6 +25,8 @@ import jax
 import jax.numpy as jnp
 from flax import nnx
 
+from .. import nn as jnn
+
 from ...utils.registry import BACKBONES
 
 
@@ -35,7 +37,7 @@ def _dwconv(dim, k, rngs, dilation=1, padding=None):
         k = (k, k)
     if isinstance(padding, int):
         padding = (padding, padding)
-    return nnx.Conv(
+    return jnn.Conv(
         dim, dim, k,
         padding=[(padding[0], padding[0]), (padding[1], padding[1])],
         kernel_dilation=dilation, feature_group_count=dim, rngs=rngs,
@@ -58,9 +60,9 @@ class DropPath(nnx.Module):
 
 class Mlp(nnx.Module):
     def __init__(self, dim, hidden, *, rngs):
-        self.fc1 = nnx.Conv(dim, hidden, (1, 1), rngs=rngs)
+        self.fc1 = jnn.Conv(dim, hidden, (1, 1), rngs=rngs)
         self.dwconv = _dwconv(hidden, 3, rngs)
-        self.fc2 = nnx.Conv(hidden, dim, (1, 1), rngs=rngs)
+        self.fc2 = jnn.Conv(hidden, dim, (1, 1), rngs=rngs)
 
     def __call__(self, x):
         x = jax.nn.gelu(self.dwconv(self.fc1(x)))
@@ -71,10 +73,10 @@ class LSKblock(nnx.Module):
     def __init__(self, dim, *, rngs):
         self.conv0 = _dwconv(dim, 5, rngs)
         self.conv_spatial = _dwconv(dim, 7, rngs, dilation=3, padding=9)
-        self.conv1 = nnx.Conv(dim, dim // 2, (1, 1), rngs=rngs)
-        self.conv2 = nnx.Conv(dim, dim // 2, (1, 1), rngs=rngs)
-        self.conv_squeeze = nnx.Conv(2, 2, (7, 7), rngs=rngs)
-        self.conv = nnx.Conv(dim // 2, dim, (1, 1), rngs=rngs)
+        self.conv1 = jnn.Conv(dim, dim // 2, (1, 1), rngs=rngs)
+        self.conv2 = jnn.Conv(dim, dim // 2, (1, 1), rngs=rngs)
+        self.conv_squeeze = jnn.Conv(2, 2, (7, 7), rngs=rngs)
+        self.conv = jnn.Conv(dim // 2, dim, (1, 1), rngs=rngs)
 
     def __call__(self, x):
         attn1 = self.conv0(x)
@@ -95,7 +97,7 @@ class StripBlock(nnx.Module):
         self.conv0 = _dwconv(dim, 5, rngs)
         self.conv_spatial1 = _dwconv(dim, (k1, k2), rngs)
         self.conv_spatial2 = _dwconv(dim, (k2, k1), rngs)
-        self.conv1 = nnx.Conv(dim, dim, (1, 1), rngs=rngs)
+        self.conv1 = jnn.Conv(dim, dim, (1, 1), rngs=rngs)
 
     def __call__(self, x):
         attn = self.conv0(x)
@@ -107,9 +109,9 @@ class StripBlock(nnx.Module):
 
 class SpatialAttention(nnx.Module):
     def __init__(self, dim, gating, *, rngs):
-        self.proj_1 = nnx.Conv(dim, dim, (1, 1), rngs=rngs)
+        self.proj_1 = jnn.Conv(dim, dim, (1, 1), rngs=rngs)
         self.gate = gating
-        self.proj_2 = nnx.Conv(dim, dim, (1, 1), rngs=rngs)
+        self.proj_2 = jnn.Conv(dim, dim, (1, 1), rngs=rngs)
 
     def __call__(self, x):
         shortcut = x
@@ -120,8 +122,8 @@ class SpatialAttention(nnx.Module):
 
 class Block(nnx.Module):
     def __init__(self, dim, mlp_ratio, drop_path, gating, *, rngs):
-        self.norm1 = nnx.BatchNorm(dim, momentum=0.9, epsilon=1e-5, rngs=rngs)
-        self.norm2 = nnx.BatchNorm(dim, momentum=0.9, epsilon=1e-5, rngs=rngs)
+        self.norm1 = jnn.BatchNorm(dim, momentum=0.9, epsilon=1e-5, rngs=rngs)
+        self.norm2 = jnn.BatchNorm(dim, momentum=0.9, epsilon=1e-5, rngs=rngs)
         self.attn = SpatialAttention(dim, gating, rngs=rngs)
         self.mlp = Mlp(dim, int(dim * mlp_ratio), rngs=rngs)
         self.drop_path = DropPath(drop_path)
@@ -142,11 +144,11 @@ class Block(nnx.Module):
 class OverlapPatchEmbed(nnx.Module):
     def __init__(self, in_ch, dim, patch_size=7, stride=4, *, rngs):
         p = patch_size // 2
-        self.proj = nnx.Conv(
+        self.proj = jnn.Conv(
             in_ch, dim, (patch_size, patch_size), strides=stride,
             padding=[(p, p), (p, p)], rngs=rngs,
         )
-        self.norm = nnx.BatchNorm(dim, momentum=0.9, epsilon=1e-5, rngs=rngs)
+        self.norm = jnn.BatchNorm(dim, momentum=0.9, epsilon=1e-5, rngs=rngs)
 
     def __call__(self, x, train=False):
         return self.norm(self.proj(x), use_running_average=not train)
@@ -196,7 +198,7 @@ class _LargeKernelNet(nnx.Module):
                 )
             cur += depth
             self.stages.append(nnx.List(blocks))
-            self.stage_norms.append(nnx.LayerNorm(dim, rngs=rngs))
+            self.stage_norms.append(jnn.LayerNorm(dim, rngs=rngs))
         self.out_channels = [embed_dims[i] for i in self.out_indices]
 
     def __call__(self, x, train=False):

@@ -11,6 +11,8 @@ import jax
 import jax.numpy as jnp
 from flax import nnx
 
+from .. import nn as jnn
+
 from ..layers import max_pool
 from .resnet import Downsample
 from ...utils.registry import BACKBONES
@@ -25,18 +27,18 @@ class Bottle2neck(nnx.Module):
         self.scales = scales
         self.stride = stride
         self.stype = "stage" if downsample is not None else "normal"
-        self.conv1 = nnx.Conv(in_ch, width * scales, (1, 1), use_bias=False, rngs=rngs)
-        self.bn1 = nnx.BatchNorm(width * scales, momentum=0.9, epsilon=1e-5, rngs=rngs)
+        self.conv1 = jnn.Conv(in_ch, width * scales, (1, 1), use_bias=False, rngs=rngs)
+        self.bn1 = jnn.BatchNorm(width * scales, momentum=0.9, epsilon=1e-5, rngs=rngs)
         convs, bns = [], []
         for _ in range(scales - 1):
             convs.append(
-                nnx.Conv(width, width, (3, 3), strides=stride, use_bias=False, rngs=rngs)
+                jnn.Conv(width, width, (3, 3), strides=stride, use_bias=False, rngs=rngs)
             )
-            bns.append(nnx.BatchNorm(width, momentum=0.9, epsilon=1e-5, rngs=rngs))
+            bns.append(jnn.BatchNorm(width, momentum=0.9, epsilon=1e-5, rngs=rngs))
         self.convs = nnx.List(convs)
         self.bns = nnx.List(bns)
-        self.conv3 = nnx.Conv(width * scales, ch * 4, (1, 1), use_bias=False, rngs=rngs)
-        self.bn3 = nnx.BatchNorm(ch * 4, momentum=0.9, epsilon=1e-5, rngs=rngs)
+        self.conv3 = jnn.Conv(width * scales, ch * 4, (1, 1), use_bias=False, rngs=rngs)
+        self.bn3 = jnn.BatchNorm(ch * 4, momentum=0.9, epsilon=1e-5, rngs=rngs)
         self.downsample = downsample
         self.width = width
 
@@ -91,8 +93,8 @@ class Res2Net(nnx.Module):
         self.return_stages = tuple(return_stages)
         self.frozen_stages = frozen_stages
         self.norm_eval = norm_eval
-        self.conv1 = nnx.Conv(in_channels, 64, (7, 7), strides=2, use_bias=False, rngs=rngs)
-        self.bn1 = nnx.BatchNorm(64, momentum=0.9, epsilon=1e-5, rngs=rngs)
+        self.conv1 = jnn.Conv(in_channels, 64, (7, 7), strides=2, use_bias=False, rngs=rngs)
+        self.bn1 = jnn.BatchNorm(64, momentum=0.9, epsilon=1e-5, rngs=rngs)
         in_ch = 64
         stages = []
         for i, n in enumerate(layers):

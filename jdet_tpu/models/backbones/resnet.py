@@ -21,6 +21,8 @@ import jax
 import jax.numpy as jnp
 from flax import nnx
 
+from .. import nn as jnn
+
 from ..layers import max_pool
 from ...utils.registry import BACKBONES
 
@@ -29,10 +31,10 @@ class BasicBlock(nnx.Module):
     expansion = 1
 
     def __init__(self, in_ch, ch, stride=1, downsample=None, *, rngs):
-        self.conv1 = nnx.Conv(in_ch, ch, (3, 3), strides=stride, use_bias=False, rngs=rngs)
-        self.bn1 = nnx.BatchNorm(ch, momentum=0.9, epsilon=1e-5, rngs=rngs)
-        self.conv2 = nnx.Conv(ch, ch, (3, 3), use_bias=False, rngs=rngs)
-        self.bn2 = nnx.BatchNorm(ch, momentum=0.9, epsilon=1e-5, rngs=rngs)
+        self.conv1 = jnn.Conv(in_ch, ch, (3, 3), strides=stride, use_bias=False, rngs=rngs)
+        self.bn1 = jnn.BatchNorm(ch, momentum=0.9, epsilon=1e-5, rngs=rngs)
+        self.conv2 = jnn.Conv(ch, ch, (3, 3), use_bias=False, rngs=rngs)
+        self.bn2 = jnn.BatchNorm(ch, momentum=0.9, epsilon=1e-5, rngs=rngs)
         self.downsample = downsample
 
     def __call__(self, x, train=False):
@@ -48,12 +50,12 @@ class Bottleneck(nnx.Module):
     expansion = 4
 
     def __init__(self, in_ch, ch, stride=1, downsample=None, *, rngs):
-        self.conv1 = nnx.Conv(in_ch, ch, (1, 1), use_bias=False, rngs=rngs)
-        self.bn1 = nnx.BatchNorm(ch, momentum=0.9, epsilon=1e-5, rngs=rngs)
-        self.conv2 = nnx.Conv(ch, ch, (3, 3), strides=stride, use_bias=False, rngs=rngs)
-        self.bn2 = nnx.BatchNorm(ch, momentum=0.9, epsilon=1e-5, rngs=rngs)
-        self.conv3 = nnx.Conv(ch, ch * 4, (1, 1), use_bias=False, rngs=rngs)
-        self.bn3 = nnx.BatchNorm(ch * 4, momentum=0.9, epsilon=1e-5, rngs=rngs)
+        self.conv1 = jnn.Conv(in_ch, ch, (1, 1), use_bias=False, rngs=rngs)
+        self.bn1 = jnn.BatchNorm(ch, momentum=0.9, epsilon=1e-5, rngs=rngs)
+        self.conv2 = jnn.Conv(ch, ch, (3, 3), strides=stride, use_bias=False, rngs=rngs)
+        self.bn2 = jnn.BatchNorm(ch, momentum=0.9, epsilon=1e-5, rngs=rngs)
+        self.conv3 = jnn.Conv(ch, ch * 4, (1, 1), use_bias=False, rngs=rngs)
+        self.bn3 = jnn.BatchNorm(ch * 4, momentum=0.9, epsilon=1e-5, rngs=rngs)
         self.downsample = downsample
 
     def __call__(self, x, train=False):
@@ -72,8 +74,8 @@ class Downsample(nnx.Module):
         self.avg_pool_first = avg_pool_first and stride != 1
         self.stride = stride
         conv_stride = 1 if self.avg_pool_first else stride
-        self.conv = nnx.Conv(in_ch, out_ch, (1, 1), strides=conv_stride, use_bias=False, rngs=rngs)
-        self.bn = nnx.BatchNorm(out_ch, momentum=0.9, epsilon=1e-5, rngs=rngs)
+        self.conv = jnn.Conv(in_ch, out_ch, (1, 1), strides=conv_stride, use_bias=False, rngs=rngs)
+        self.bn = jnn.BatchNorm(out_ch, momentum=0.9, epsilon=1e-5, rngs=rngs)
 
     def __call__(self, x, train=False):
         if self.avg_pool_first:
@@ -116,15 +118,15 @@ class ResNet(nnx.Module):
         self.deep_stem = deep_stem
 
         if deep_stem:
-            self.conv1a = nnx.Conv(in_channels, 32, (3, 3), strides=2, use_bias=False, rngs=rngs)
-            self.bn1a = nnx.BatchNorm(32, momentum=0.9, epsilon=1e-5, rngs=rngs)
-            self.conv1b = nnx.Conv(32, 32, (3, 3), use_bias=False, rngs=rngs)
-            self.bn1b = nnx.BatchNorm(32, momentum=0.9, epsilon=1e-5, rngs=rngs)
-            self.conv1c = nnx.Conv(32, 64, (3, 3), use_bias=False, rngs=rngs)
-            self.bn1c = nnx.BatchNorm(64, momentum=0.9, epsilon=1e-5, rngs=rngs)
+            self.conv1a = jnn.Conv(in_channels, 32, (3, 3), strides=2, use_bias=False, rngs=rngs)
+            self.bn1a = jnn.BatchNorm(32, momentum=0.9, epsilon=1e-5, rngs=rngs)
+            self.conv1b = jnn.Conv(32, 32, (3, 3), use_bias=False, rngs=rngs)
+            self.bn1b = jnn.BatchNorm(32, momentum=0.9, epsilon=1e-5, rngs=rngs)
+            self.conv1c = jnn.Conv(32, 64, (3, 3), use_bias=False, rngs=rngs)
+            self.bn1c = jnn.BatchNorm(64, momentum=0.9, epsilon=1e-5, rngs=rngs)
         else:
-            self.conv1 = nnx.Conv(in_channels, 64, (7, 7), strides=2, use_bias=False, rngs=rngs)
-            self.bn1 = nnx.BatchNorm(64, momentum=0.9, epsilon=1e-5, rngs=rngs)
+            self.conv1 = jnn.Conv(in_channels, 64, (7, 7), strides=2, use_bias=False, rngs=rngs)
+            self.bn1 = jnn.BatchNorm(64, momentum=0.9, epsilon=1e-5, rngs=rngs)
 
         in_ch = 64
         stages = []

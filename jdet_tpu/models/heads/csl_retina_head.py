@@ -17,6 +17,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import nnx
 
+from .. import nn as jnn
+
 from .rotated_retina_head import RotatedRetinaHead
 from ..layers import bias_init_with_prob, normal_init
 from ..boxes.anchor_target import anchor_target_batch
@@ -41,7 +43,7 @@ class CSLRRetinaHead(RotatedRetinaHead):
         self.angle_coder = CSLCoder(**angle_coder)
         self.coding_len = self.angle_coder.coding_len
         self.loss_angle_cfg = dict(loss_angle)
-        self.retina_angle_cls = nnx.Conv(
+        self.retina_angle_cls = jnn.Conv(
             self.feat_channels,
             self.num_anchors * self.coding_len,
             (1, 1),
@@ -63,6 +65,7 @@ class CSLRRetinaHead(RotatedRetinaHead):
         return cls_score, bbox_pred, angle_cls
 
     def loss(self, outs, targets):
+        outs = jax.tree.map(lambda t: t.astype(jnp.float32), outs)
         featmap_sizes = [o[0].shape[1:3] for o in outs]
         anchors = jnp.asarray(self._flat_anchors(featmap_sizes))
         B = outs[0][0].shape[0]
@@ -122,6 +125,7 @@ class CSLRRetinaHead(RotatedRetinaHead):
 
     def predict(self, outs, targets=None):
         cfg = self.test_cfg
+        outs = jax.tree.map(lambda t: t.astype(jnp.float32), outs)
         featmap_sizes = [o[0].shape[1:3] for o in outs]
         nms_pre = cfg["nms_pre"]
         level_scores, level_boxes = [], []

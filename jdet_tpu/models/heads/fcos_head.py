@@ -18,6 +18,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import nnx
 
+from .. import nn as jnn
+
 from ..layers import ConvModule, Scale, bias_init_with_prob, normal_init
 from ..losses import (
     sigmoid_focal_loss,
@@ -82,19 +84,19 @@ class FCOSHead(nnx.Module):
 
         self.cls_convs = tower()
         self.reg_convs = tower()
-        self.conv_cls = nnx.Conv(
+        self.conv_cls = jnn.Conv(
             feat_channels, num_classes, (3, 3),
             kernel_init=normal_init(0.01),
             bias_init=nnx.initializers.constant(bias_init_with_prob(0.01)),
             rngs=rngs,
         )
-        self.conv_reg = nnx.Conv(
+        self.conv_reg = jnn.Conv(
             feat_channels, 4, (3, 3), kernel_init=normal_init(0.01), rngs=rngs
         )
-        self.conv_theta = nnx.Conv(
+        self.conv_theta = jnn.Conv(
             feat_channels, 1, (3, 3), kernel_init=normal_init(0.01), rngs=rngs
         )
-        self.conv_centerness = nnx.Conv(
+        self.conv_centerness = jnn.Conv(
             feat_channels, 1, (3, 3), kernel_init=normal_init(0.01), rngs=rngs
         )
         self.scales = nnx.List([Scale(1.0) for _ in strides])
@@ -191,6 +193,7 @@ class FCOSHead(nnx.Module):
         return labels, bbox_targets, pos
 
     def loss(self, outs, targets):
+        outs = jax.tree.map(lambda t: t.astype(jnp.float32), outs)
         featmap_sizes = [o[0].shape[1:3] for o in outs]
         B = outs[0][0].shape[0]
         pts_list = self._points(featmap_sizes)
@@ -275,6 +278,7 @@ class FCOSHead(nnx.Module):
     # ------------------------------------------------------------------
     def predict(self, outs, targets=None):
         cfg = self.test_cfg
+        outs = jax.tree.map(lambda t: t.astype(jnp.float32), outs)
         featmap_sizes = [o[0].shape[1:3] for o in outs]
         pts_list = self._points(featmap_sizes)
         nms_pre = cfg["nms_pre"]

@@ -23,6 +23,8 @@ import jax
 import jax.numpy as jnp
 from flax import nnx
 
+from .. import nn as jnn
+
 from .roi_head_base import RoIHeadBase
 from ..layers import normal_init
 from ..losses import cross_entropy_loss, smooth_l1_loss
@@ -66,11 +68,11 @@ class FasterrcnnHead(RoIHeadBase):
             num_classes, in_channels, fc_out_channels, num_shared_fcs,
             roi_size, featmap_strides, train_cfg, test_cfg, rngs=rngs,
         )
-        self.fc_cls = nnx.Linear(
+        self.fc_cls = jnn.Linear(
             fc_out_channels, num_classes + 1,
             kernel_init=normal_init(0.01), rngs=rngs,
         )
-        self.fc_reg = nnx.Linear(
+        self.fc_reg = jnn.Linear(
             fc_out_channels, 5, kernel_init=normal_init(0.001), rngs=rngs
         )
 
@@ -138,17 +140,17 @@ class GlidingHead(RoIHeadBase):
             num_classes, in_channels, fc_out_channels, num_shared_fcs,
             roi_size, featmap_strides, train_cfg, test_cfg, rngs=rngs,
         )
-        self.fc_cls = nnx.Linear(
+        self.fc_cls = jnn.Linear(
             fc_out_channels, num_classes + 1,
             kernel_init=normal_init(0.01), rngs=rngs,
         )
-        self.fc_reg = nnx.Linear(
+        self.fc_reg = jnn.Linear(
             fc_out_channels, 4, kernel_init=normal_init(0.001), rngs=rngs
         )
-        self.fc_fix = nnx.Linear(
+        self.fc_fix = jnn.Linear(
             fc_out_channels, 4, kernel_init=normal_init(0.001), rngs=rngs
         )
-        self.fc_ratio = nnx.Linear(
+        self.fc_ratio = jnn.Linear(
             fc_out_channels, 1, kernel_init=normal_init(0.001), rngs=rngs
         )
 
@@ -248,11 +250,11 @@ class RoITransHead(RoIHeadBase):
             num_classes, in_channels, fc_out_channels, 2,
             roi_size, featmap_strides, train_cfg, test_cfg, rngs=rngs,
         )
-        self.fc_cls = nnx.Linear(
+        self.fc_cls = jnn.Linear(
             fc_out_channels, num_classes + 1,
             kernel_init=normal_init(0.01), rngs=rngs,
         )
-        self.fc_reg = nnx.Linear(
+        self.fc_reg = jnn.Linear(
             fc_out_channels, 5, kernel_init=normal_init(0.001), rngs=rngs
         )
         # stage 2: rotated RoI head
@@ -265,7 +267,7 @@ class RoITransHead(RoIHeadBase):
         in_dim = in_channels * roi_size * roi_size
         self.shared_fcs2 = nnx.List(
             [
-                nnx.Linear(
+                jnn.Linear(
                     in_dim if i == 0 else fc_out_channels,
                     fc_out_channels,
                     kernel_init=nnx.initializers.xavier_uniform(),
@@ -274,11 +276,11 @@ class RoITransHead(RoIHeadBase):
                 for i in range(2)
             ]
         )
-        self.fc_cls2 = nnx.Linear(
+        self.fc_cls2 = jnn.Linear(
             fc_out_channels, num_classes + 1,
             kernel_init=normal_init(0.01), rngs=rngs,
         )
-        self.fc_reg2 = nnx.Linear(
+        self.fc_reg2 = jnn.Linear(
             fc_out_channels, 5, kernel_init=normal_init(0.001), rngs=rngs
         )
 
@@ -293,7 +295,8 @@ class RoITransHead(RoIHeadBase):
         x = x.reshape(B, S, -1)
         for fc in self.shared_fcs2:
             x = jax.nn.relu(fc(x))
-        return self.fc_cls2(x), self.fc_reg2(x)
+        return (self.fc_cls2(x).astype(jnp.float32),
+                self.fc_reg2(x).astype(jnp.float32))
 
     def _sample_rotated(self, proposals, p_valid, gt_bboxes, gt_mask,
                         gt_labels, key):
@@ -417,12 +420,12 @@ class StripHead(OrientedHead):
     def __init__(self, *a, strip_k=7, in_channels=256, rngs, **kw):
         super().__init__(*a, in_channels=in_channels, rngs=rngs, **kw)
         pad = strip_k // 2
-        self.strip_h = nnx.Conv(
+        self.strip_h = jnn.Conv(
             in_channels, in_channels, (1, strip_k),
             padding=[(0, 0), (pad, pad)], feature_group_count=in_channels,
             rngs=rngs,
         )
-        self.strip_v = nnx.Conv(
+        self.strip_v = jnn.Conv(
             in_channels, in_channels, (strip_k, 1),
             padding=[(pad, pad), (0, 0)], feature_group_count=in_channels,
             rngs=rngs,
@@ -436,4 +439,5 @@ class StripHead(OrientedHead):
         x = xs.reshape(B, S, -1)
         for fc in self.shared_fcs:
             x = jax.nn.relu(fc(x))
-        return self.fc_cls(x), self.fc_reg(x)
+        return (self.fc_cls(x).astype(jnp.float32),
+                self.fc_reg(x).astype(jnp.float32))

@@ -20,6 +20,8 @@ import jax
 import jax.numpy as jnp
 from flax import nnx
 
+from .. import nn as jnn
+
 from ..layers import normal_init
 from ..boxes.assigner import max_iou_assign_rotated
 from ..boxes.sampler import random_sample
@@ -77,7 +79,7 @@ class OrientedHead(nnx.Module):
         fcs = []
         for i in range(num_shared_fcs):
             fcs.append(
-                nnx.Linear(
+                jnn.Linear(
                     in_dim if i == 0 else fc_out_channels,
                     fc_out_channels,
                     kernel_init=nnx.initializers.xavier_uniform(),
@@ -85,12 +87,12 @@ class OrientedHead(nnx.Module):
                 )
             )
         self.shared_fcs = nnx.List(fcs)
-        self.fc_cls = nnx.Linear(
+        self.fc_cls = jnn.Linear(
             fc_out_channels, num_classes + 1,
             kernel_init=normal_init(0.01), rngs=rngs,
         )
         reg_dim = 5 if reg_class_agnostic else 5 * num_classes
-        self.fc_reg = nnx.Linear(
+        self.fc_reg = jnn.Linear(
             fc_out_channels, reg_dim,
             kernel_init=normal_init(0.001), rngs=rngs,
         )
@@ -102,7 +104,8 @@ class OrientedHead(nnx.Module):
         x = x.reshape(B, S, -1)
         for fc in self.shared_fcs:
             x = jax.nn.relu(fc(x))
-        return self.fc_cls(x), self.fc_reg(x)
+        return (self.fc_cls(x).astype(jnp.float32),
+                self.fc_reg(x).astype(jnp.float32))
 
     # ------------------------------------------------------------------
     def _sample_rois(self, proposals, p_valid, gt_bboxes, gt_mask, gt_labels, key):

@@ -19,6 +19,8 @@ import jax
 import jax.numpy as jnp
 from flax import nnx
 
+from .. import nn as jnn
+
 from ..layers import normal_init
 from ..boxes.assigner import max_iou_assign_rotated, max_iou_assign_hbb
 from ..boxes.sampler import random_sample
@@ -76,7 +78,7 @@ class RoIHeadBase(nnx.Module):
         in_dim = in_channels * roi_size * roi_size
         self.shared_fcs = nnx.List(
             [
-                nnx.Linear(
+                jnn.Linear(
                     in_dim if i == 0 else fc_out_channels,
                     fc_out_channels,
                     kernel_init=nnx.initializers.xavier_uniform(),
@@ -104,7 +106,7 @@ class RoIHeadBase(nnx.Module):
         x = x.reshape(B, S, -1)
         for fc in self.shared_fcs:
             x = jax.nn.relu(fc(x))
-        return x
+        return x.astype(jnp.float32)
 
     # sampling -----------------------------------------------------------
     def _sample_rois(self, proposals, p_valid, gt_assign, gt_reg, gt_mask,

@@ -26,6 +26,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import nnx
 
+from .. import nn as jnn
+
 from ..layers import ConvModule, bias_init_with_prob, normal_init
 from ..boxes.anchor_generator import AnchorGeneratorRotated
 from ..boxes.anchor_target import anchor_target_batch
@@ -117,14 +119,14 @@ class RotatedRetinaHead(nnx.Module):
             )
         self.reg_convs = nnx.List(reg_convs)
         self.cls_convs = nnx.List(cls_convs)
-        self.retina_reg = nnx.Conv(
+        self.retina_reg = jnn.Conv(
             feat_channels,
             self.num_anchors * 5,
             (1, 1),
             kernel_init=normal_init(0.01),
             rngs=rngs,
         )
-        self.retina_cls = nnx.Conv(
+        self.retina_cls = jnn.Conv(
             feat_channels,
             self.num_anchors * self.cls_out_channels,
             (1, 1),
@@ -174,6 +176,7 @@ class RotatedRetinaHead(nnx.Module):
         gt_mask (B, K) bool.
         """
         featmap_sizes = [o[0].shape[1:3] for o in outs]
+        outs = jax.tree.map(lambda t: t.astype(jnp.float32), outs)
         anchors = jnp.asarray(self._flat_anchors(featmap_sizes))
         cls_scores, bbox_preds = self._flatten_outs(outs)
 
@@ -295,6 +298,7 @@ class RotatedRetinaHead(nnx.Module):
         scores, labels (0-based fg), valid.
         """
         cfg = self.test_cfg
+        outs = jax.tree.map(lambda t: t.astype(jnp.float32), outs)
         featmap_sizes = [o[0].shape[1:3] for o in outs]
         nms_pre = cfg["nms_pre"]
 

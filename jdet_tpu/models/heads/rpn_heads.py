@@ -20,6 +20,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import nnx
 
+from .. import nn as jnn
+
 from ..layers import normal_init
 from ..boxes.anchor_generator import AnchorGeneratorHBB
 from ..boxes.anchor_target import anchor_target_batch
@@ -76,15 +78,15 @@ class _RPNBase(nnx.Module):
         self.loss_weight = loss_weight
         self.train_cfg = {**DEFAULT_RPN_TRAIN_CFG, **(train_cfg or {})}
 
-        self.rpn_conv = nnx.Conv(
+        self.rpn_conv = jnn.Conv(
             in_channels, feat_channels, (3, 3),
             kernel_init=normal_init(0.01), rngs=rngs,
         )
-        self.rpn_cls = nnx.Conv(
+        self.rpn_cls = jnn.Conv(
             feat_channels, self.num_anchors, (1, 1),
             kernel_init=normal_init(0.01), rngs=rngs,
         )
-        self.rpn_reg = nnx.Conv(
+        self.rpn_reg = jnn.Conv(
             feat_channels, self.num_anchors * self.reg_dim, (1, 1),
             kernel_init=normal_init(0.01), rngs=rngs,
         )
@@ -118,6 +120,7 @@ class _RPNBase(nnx.Module):
 
     # -- loss -----------------------------------------------------------
     def loss(self, outs, targets, key=None):
+        outs = jax.tree.map(lambda t: t.astype(jnp.float32), outs)
         featmap_sizes = [o[0].shape[1:3] for o in outs]
         B = outs[0][0].shape[0]
         anchors = jnp.concatenate(self._level_anchors(featmap_sizes), 0)
@@ -181,6 +184,7 @@ class _RPNBase(nnx.Module):
     def get_proposals(self, outs):
         """Fixed-shape proposals: (B, nms_post, reg_decode_dim) + valid +
         scores (oriented_rpn_head.py:128-229)."""
+        outs = jax.tree.map(lambda t: t.astype(jnp.float32), outs)
         featmap_sizes = [o[0].shape[1:3] for o in outs]
         anchors_per_level = self._level_anchors(featmap_sizes)
         B = outs[0][0].shape[0]

@@ -27,6 +27,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import nnx
 
+from .. import nn as jnn
+
 from ..layers import ConvModule, bias_init_with_prob, normal_init
 from ..boxes.anchor_generator import AnchorGeneratorRotatedS2ANet
 from ..boxes.anchor_target import anchor_target_batch
@@ -174,10 +176,10 @@ class S2ANetHead(nnx.Module):
 
         self.fam_reg_convs = towers(stacked_convs, in_channels)
         self.fam_cls_convs = towers(stacked_convs, in_channels)
-        self.fam_reg = nnx.Conv(
+        self.fam_reg = jnn.Conv(
             feat_channels, 5, (1, 1), kernel_init=normal_init(0.01), rngs=rngs
         )
-        self.fam_cls = nnx.Conv(
+        self.fam_cls = jnn.Conv(
             feat_channels,
             self.cls_out_channels,
             (1, 1),
@@ -199,14 +201,14 @@ class S2ANetHead(nnx.Module):
             )
             odm_cls_first = feat_channels // 8
         else:
-            self.or_conv = nnx.Conv(
+            self.or_conv = jnn.Conv(
                 feat_channels, feat_channels, (3, 3),
                 kernel_init=normal_init(0.01), rngs=rngs,
             )
             odm_cls_first = feat_channels
         self.odm_reg_convs = towers(stacked_convs, feat_channels)
         self.odm_cls_convs = towers(stacked_convs, odm_cls_first)
-        self.odm_cls = nnx.Conv(
+        self.odm_cls = jnn.Conv(
             feat_channels,
             self.cls_out_channels,
             (3, 3),
@@ -214,7 +216,7 @@ class S2ANetHead(nnx.Module):
             bias_init=nnx.initializers.constant(bias_init_with_prob(0.01)),
             rngs=rngs,
         )
-        self.odm_reg = nnx.Conv(
+        self.odm_reg = jnn.Conv(
             feat_channels, 5, (3, 3), kernel_init=normal_init(0.01), rngs=rngs
         )
 
@@ -285,6 +287,7 @@ class S2ANetHead(nnx.Module):
         )
 
     def loss(self, outs, targets):
+        outs = jax.tree.map(lambda t: t.astype(jnp.float32), outs)
         featmap_sizes = [o[0].shape[1:3] for o in outs]
         B = outs[0][0].shape[0]
         fam_cls = jnp.concatenate(
@@ -350,6 +353,7 @@ class S2ANetHead(nnx.Module):
     def predict(self, outs, targets=None):
         """ODM detection from refined anchors (s2anet_head.py:510-601)."""
         cfg = self.test_cfg
+        outs = jax.tree.map(lambda t: t.astype(jnp.float32), outs)
         nms_pre = cfg["nms_pre"]
         level_scores, level_boxes = [], []
         for (fc, fr, refine, cls, reg) in outs:

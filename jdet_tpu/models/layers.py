@@ -14,6 +14,8 @@ import jax
 import jax.numpy as jnp
 from flax import nnx
 
+from . import nn as jnn
+
 
 def bias_init_with_prob(prior_prob):
     """Focal-loss style classification bias init (reference
@@ -55,7 +57,7 @@ class ConvModule(nnx.Module):
             kw["bias_init"] = bias_init
         if isinstance(padding, int):
             padding = [(padding, padding), (padding, padding)]
-        self.conv = nnx.Conv(
+        self.conv = jnn.Conv(
             in_channels,
             out_channels,
             kernel_size if isinstance(kernel_size, (tuple, list)) else (kernel_size, kernel_size),
@@ -68,9 +70,9 @@ class ConvModule(nnx.Module):
             **kw,
         )
         if norm == "bn":
-            self.norm = nnx.BatchNorm(out_channels, momentum=0.9, epsilon=1e-5, rngs=rngs)
+            self.norm = jnn.BatchNorm(out_channels, momentum=0.9, epsilon=1e-5, rngs=rngs)
         elif norm == "gn":
-            self.norm = nnx.GroupNorm(out_channels, num_groups=num_groups, rngs=rngs)
+            self.norm = jnn.GroupNorm(out_channels, num_groups=num_groups, rngs=rngs)
         else:
             self.norm = None
         self.act = act

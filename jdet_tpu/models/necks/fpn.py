@@ -12,6 +12,8 @@ from typing import Sequence
 import jax
 from flax import nnx
 
+from .. import nn as jnn
+
 from ..layers import max_pool, resize_nearest
 from ...utils.registry import NECKS
 
@@ -43,13 +45,13 @@ class FPN(nnx.Module):
 
         self.lateral_convs = nnx.List(
             [
-                nnx.Conv(in_channels[i], out_channels, (1, 1), rngs=rngs)
+                jnn.Conv(in_channels[i], out_channels, (1, 1), rngs=rngs)
                 for i in range(self.start_level, self.end_level)
             ]
         )
         self.fpn_convs = nnx.List(
             [
-                nnx.Conv(out_channels, out_channels, (3, 3), rngs=rngs)
+                jnn.Conv(out_channels, out_channels, (3, 3), rngs=rngs)
                 for _ in range(self.start_level, self.end_level)
             ]
         )
@@ -63,7 +65,7 @@ class FPN(nnx.Module):
                     else out_channels
                 )
                 extra.append(
-                    nnx.Conv(in_ch, out_channels, (3, 3), strides=2, rngs=rngs)
+                    jnn.Conv(in_ch, out_channels, (3, 3), strides=2, rngs=rngs)
                 )
         self.extra_convs = nnx.List(extra)
         self.out_channels = out_channels

@@ -102,7 +102,7 @@ def deform_conv2d(
     if mask is not None:
         sampled = sampled * mask[..., None]
     cols = sampled.reshape(B, Ho, Wo, kh * kw * C)
-    w2 = weight.reshape(kh * kw * C, cout)
+    w2 = weight.reshape(kh * kw * C, cout).astype(cols.dtype)
     out = jax.lax.dot_general(
         cols,
         w2,

@@ -120,7 +120,7 @@ class ORConv2d(nnx.Module):
         )
 
     def __call__(self, x):
-        w = rotate_arf(self.weight.value, self._src)
+        w = rotate_arf(self.weight.value, self._src).astype(x.dtype)
         out = jax.lax.conv_general_dilated(
             x,
             w,
