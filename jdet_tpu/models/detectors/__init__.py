@@ -4,3 +4,4 @@ from .two_stage import RCNN, OrientedRCNN
 from .single_stage import FCOS
 from .two_stage import FasterRCNNOBB, GlidingVertex, RoITransformer
 from .two_stage import StripRCNN
+from .two_stage import ReDet

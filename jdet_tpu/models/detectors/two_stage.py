@@ -87,3 +87,9 @@ class RoITransformer(RCNN):
 @MODELS.register_module()
 class StripRCNN(RCNN):
     """networks/strip_rcnn.py:6 — StripNet backbone + StripHead."""
+
+
+@MODELS.register_module()
+class ReDet(RCNN):
+    """networks/redet.py — ReResNet + ReFPN backbone with the
+    RiRoIAlign cascade head."""

@@ -9,3 +9,4 @@ from .csl_retina_head import CSLRRetinaHead
 from .fcos_head import FCOSHead
 from .obb_roi_heads import FasterrcnnHead, GlidingHead, RoITransHead
 from .obb_roi_heads import StripHead
+from .obb_roi_heads import ReDetHead

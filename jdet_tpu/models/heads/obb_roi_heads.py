@@ -441,3 +441,55 @@ class StripHead(OrientedHead):
             x = jax.nn.relu(fc(x))
         return (self.fc_cls(x).astype(jnp.float32),
                 self.fc_reg(x).astype(jnp.float32))
+
+
+class _RiRoIExtractor:
+    """Stage-2 extractor wrapper using riroi_align with level routing."""
+
+    def __init__(self, out_size=7, featmap_strides=(4, 8, 16, 32),
+                 finest_scale=56):
+        self.out_size = out_size
+        self.featmap_strides = tuple(featmap_strides)
+        self.finest_scale = finest_scale
+
+    def __call__(self, feats, rois, valid=None):
+        from ...ops.riroi_align import riroi_align
+        from ..roi_extractors.single_level import _map_levels
+
+        num_levels = len(self.featmap_strides)
+        scale = jnp.sqrt(jnp.maximum(rois[..., 2] * rois[..., 3], 1e-6))
+        lvl = _map_levels(scale, num_levels, self.finest_scale)
+        out = 0.0
+        for i in range(num_levels):
+            sel = (lvl == i).astype(feats[i].dtype)
+            if valid is not None:
+                sel = sel * valid.astype(feats[i].dtype)
+            aligned = riroi_align(
+                feats[i], rois, self.out_size,
+                1.0 / self.featmap_strides[i], 2,
+            )
+            out = out + aligned * sel[..., None, None, None]
+        return out
+
+
+@HEADS.register_module()
+class ReDetHead(RoITransHead):
+    """ReDet cascade head (networks/redet.py:64-227): identical cascade to
+    RoI-Transformer but the rotated stage samples rotation-invariant
+    features via RiRoIAlign (ops/riroi_align.py)."""
+
+    def __init__(self, *a, roi_size=7, featmap_strides=(4, 8, 16, 32), **kw):
+        super().__init__(*a, roi_size=roi_size,
+                         featmap_strides=featmap_strides, **kw)
+        self.roi_extractor2 = _RiRoIExtractor(
+            out_size=roi_size, featmap_strides=featmap_strides
+        )
+
+    def _stage2_forward(self, feats, rois, valid):
+        x = self.roi_extractor2(feats, rois, valid)
+        B, S = x.shape[:2]
+        x = x.reshape(B, S, -1)
+        for fc in self.shared_fcs2:
+            x = jax.nn.relu(fc(x))
+        return (self.fc_cls2(x).astype(jnp.float32),
+                self.fc_reg2(x).astype(jnp.float32))

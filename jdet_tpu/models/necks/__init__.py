@@ -1,1 +1,2 @@
 from .fpn import FPN
+from .re_fpn import ReFPN

@@ -30,3 +30,4 @@ from .deform_conv import deform_conv2d, DeformConv, DCNv2, bilinear_sample_nhwc
 from .orn import ORConv2d, rotate_arf, rotation_invariant_pooling, rotation_invariant_encoding
 from .roi_align_rotated import roi_align, roi_align_rotated
 from .nms import nms, hbb_iou_matrix
+from .riroi_align import riroi_align
