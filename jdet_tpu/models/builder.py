@@ -46,5 +46,14 @@ def build_detector(cfg, rngs=None, seed=0):
             parts[key] = hcls(rngs=rngs, **hcfg)
         else:
             cfg.pop(key, None)
+    if cfg.get("teacher") is not None:
+        tcfg = cfg.pop("teacher")
+        ckpt = cfg.pop("teacher_ckpt", None)
+        parts["teacher"] = build_detector(dict(tcfg), rngs=rngs)
+        if ckpt:
+            parts["teacher_ckpt"] = ckpt
+    else:
+        cfg.pop("teacher", None)
+        cfg.pop("teacher_ckpt", None)
     det_cls = MODELS.get(det_type)
     return det_cls(**parts, **cfg)

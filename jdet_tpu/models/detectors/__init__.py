@@ -5,3 +5,5 @@ from .single_stage import FCOS
 from .two_stage import FasterRCNNOBB, GlidingVertex, RoITransformer
 from .two_stage import StripRCNN
 from .two_stage import ReDet
+from .h2rbox import H2RBox
+from .single_stage import KnowledgeDistillationSingleStageDetector

@@ -56,3 +56,34 @@ class S2ANet(SingleStageDetector):
 @MODELS.register_module()
 class FCOS(SingleStageDetector):
     """networks/fcos.py:5 — thin wrapper."""
+
+
+@MODELS.register_module()
+class KnowledgeDistillationSingleStageDetector(SingleStageDetector):
+    """LD wrapper (networks/kd_one_stage.py:26-45): a frozen teacher built
+    from its own config/checkpoint provides box-distribution targets.
+
+    The teacher lives under the `teacher` attribute; build_optimizer
+    freezes any parameter whose path contains 'teacher'.
+    """
+
+    def __init__(self, backbone, neck=None, bbox_head=None, teacher=None,
+                 teacher_ckpt=None):
+        super().__init__(backbone, neck, bbox_head)
+        self.teacher = teacher
+        if teacher is not None and teacher_ckpt:
+            from ...runner.checkpoint import load_checkpoint
+
+            load_checkpoint(teacher_ckpt, self.teacher, model_only=True)
+
+    def loss(self, images, targets):
+        import jax
+
+        feats = self.extract_feat(images, train=True)
+        outs = self.bbox_head(feats, train=True)
+        if self.teacher is None:
+            return self.bbox_head.loss(outs, targets)
+        t_feats = self.teacher.extract_feat(images, train=False)
+        t_outs = self.teacher.bbox_head(t_feats, train=False)
+        t_outs = jax.tree.map(jax.lax.stop_gradient, t_outs)
+        return self.bbox_head.loss_with_teacher(outs, t_outs, targets)

@@ -10,3 +10,5 @@ from .fcos_head import FCOSHead
 from .obb_roi_heads import FasterrcnnHead, GlidingHead, RoITransHead
 from .obb_roi_heads import StripHead
 from .obb_roi_heads import ReDetHead
+from .rotated_retina_head import RSDetHead
+from .ld_retina_head import RotatedRetinaDistributionHead, LDRotatedRetinaHead

@@ -160,6 +160,11 @@ class RotatedRetinaHead(nnx.Module):
         ]
         return np.concatenate(anchors, 0)
 
+    def _reg_to_deltas(self, reg, b):
+        """Per-level regression map -> (b, A, 5) deltas (hook for
+        distribution heads)."""
+        return reg.reshape(b, -1, 5)
+
     def _flatten_outs(self, outs):
         """[(cls NHWC, reg NHWC)] -> (B, A_total, C), (B, A_total, 5)."""
         cls_list, reg_list = [], []
@@ -274,6 +279,19 @@ class RotatedRetinaHead(nnx.Module):
                 weight=w1.reshape(-1),
                 avg_factor=num_total,
             )
+        if kind == "rsdet":
+            from ..losses import rsdet_loss
+
+            n = anchors.shape[0]
+            b = bbox_preds.shape[0]
+            return rsdet_loss(
+                bbox_preds.reshape(-1, 5),
+                tgt["bbox_targets"].reshape(-1, 5),
+                jnp.broadcast_to(anchors[None], (b, n, 5)).reshape(-1, 5),
+                weight=w1.reshape(-1),
+                sigma=cfg.get("sigma", 3.0),
+                avg_factor=num_total,
+            )
         if kind == "iou":
             from ..losses import rotated_iou_loss
 
@@ -308,7 +326,7 @@ class RotatedRetinaHead(nnx.Module):
             scores = jax.nn.sigmoid(
                 cls.reshape(b, -1, self.cls_out_channels)
             )
-            deltas = reg.reshape(b, -1, 5)
+            deltas = self._reg_to_deltas(reg, b)
             anchors = jnp.asarray(
                 self.anchor_generators[lvl].grid_anchors(
                     tuple(featmap_sizes[lvl]), self.anchor_strides[lvl]
@@ -399,3 +417,15 @@ class RotatedATSSHead(RotatedRetinaHead):
         tc = dict(train_cfg or {})
         tc.setdefault("assigner", dict(type="atss", topk=9))
         super().__init__(*a, train_cfg=tc, **kw)
+
+
+@HEADS.register_module()
+class RSDetHead(RotatedRetinaHead):
+    """RSDet modulated-loss variant (reference rsdet_head.py:6,
+    losses/rsdet_loss.py)."""
+
+    def __init__(self, *a, loss_bbox=None, **kw):
+        super().__init__(
+            *a, loss_bbox=loss_bbox or dict(type="rsdet", sigma=3.0,
+                                            loss_weight=1.0), **kw
+        )

@@ -10,3 +10,11 @@ from .gaussian_dist_loss import gwd_loss, kld_loss, bcd_loss, gaussian_dist_loss
 from .kf_iou_loss import kf_iou_loss
 from .iou_loss import rotated_iou_loss
 from .smooth_focal_loss import smooth_focal_loss
+from .misc_losses import (
+    rsdet_loss,
+    knowledge_distillation_kl_div_loss,
+    im_loss,
+    jd_loss,
+    kld_symmax_loss,
+    kld_symmin_loss,
+)

@@ -116,8 +116,13 @@ def build_optimizer(
         pred = frozen_stages_predicate(frozen_stages)
         mult_fns.append(lambda path, leaf: 1.0 if pred(path, leaf) else 0.0)
 
+    # distillation teachers are always frozen (KD single-stage detector)
+    mult_fns.append(
+        lambda path, leaf: 0.0 if "teacher" in path.split(".") else 1.0
+    )
+
     if mult_fns:
-        _, params = nnx.split(model, nnx.Param)
+        params = nnx.state(model, nnx.Param)
         mults = make_param_mask(
             params,
             lambda path, leaf: float(math.prod(f(path, leaf) for f in mult_fns)),
