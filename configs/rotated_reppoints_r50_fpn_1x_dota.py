@@ -1,0 +1,11 @@
+# Rotated RepPoints R50-FPN 1x (reference: 56.34 mAP, README.md:120)
+_base_ = ["_base_/dota_1024.py", "_base_/sgd_1x.py"]
+optimizer = dict(lr=0.008)
+model = dict(
+    type="RotatedRepPoints",
+    backbone=dict(type="ResNet", depth=50, frozen_stages=1),
+    neck=dict(type="FPN", out_channels=256, num_outs=5, start_level=1,
+              add_extra_convs="on_input"),
+    bbox_head=dict(type="RotatedRepPointsHead", num_classes=15,
+                   in_channels=256),
+)

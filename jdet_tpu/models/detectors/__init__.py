@@ -7,3 +7,4 @@ from .two_stage import StripRCNN
 from .two_stage import ReDet
 from .h2rbox import H2RBox
 from .single_stage import KnowledgeDistillationSingleStageDetector
+from .single_stage import RotatedRepPoints

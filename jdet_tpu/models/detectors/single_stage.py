@@ -87,3 +87,9 @@ class KnowledgeDistillationSingleStageDetector(SingleStageDetector):
         t_outs = self.teacher.bbox_head(t_feats, train=False)
         t_outs = jax.tree.map(jax.lax.stop_gradient, t_outs)
         return self.bbox_head.loss_with_teacher(outs, t_outs, targets)
+
+
+@MODELS.register_module()
+class RotatedRepPoints(SingleStageDetector):
+    """RepPoints wrapper (reference uses SingleStageDetector with
+    RotatedRepPointsHead)."""
