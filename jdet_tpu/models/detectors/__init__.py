@@ -8,3 +8,4 @@ from .two_stage import ReDet
 from .h2rbox import H2RBox
 from .single_stage import KnowledgeDistillationSingleStageDetector
 from .single_stage import RotatedRepPoints
+from .single_stage import SSD

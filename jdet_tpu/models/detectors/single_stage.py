@@ -93,3 +93,9 @@ class KnowledgeDistillationSingleStageDetector(SingleStageDetector):
 class RotatedRepPoints(SingleStageDetector):
     """RepPoints wrapper (reference uses SingleStageDetector with
     RotatedRepPointsHead)."""
+
+
+@MODELS.register_module()
+class SSD(SingleStageDetector):
+    """SSD single-stage detector (reference projects/ssd; SSD_VGG +
+    SSDNeck + SSDHead)."""

@@ -13,3 +13,4 @@ from .obb_roi_heads import ReDetHead
 from .rotated_retina_head import RSDetHead
 from .ld_retina_head import RotatedRetinaDistributionHead, LDRotatedRetinaHead
 from .reppoints_head import RotatedRepPointsHead
+from .ssd_head import SSDHead

@@ -156,3 +156,32 @@ def test_ld_distillation_trains():
     )
     det = m.predict(images)
     assert det["polys"].shape == (1, 16, 8)
+
+
+def test_ssd_end_to_end():
+    m = build_detector(
+        dict(
+            type="SSD",
+            backbone=dict(type="SSDVGG"),
+            neck=dict(type="SSDNeck"),
+            bbox_head=dict(
+                type="SSDHead", num_classes=15,
+                test_cfg=dict(nms_pre=128, max_per_img=16),
+            ),
+        ),
+        seed=0,
+    )
+    images = jnp.asarray(rng.rand(1, 128, 128, 3).astype(np.float32))
+    gt = np.zeros((1, 6, 5), np.float32)
+    gt[0, 0] = [60, 60, 40, 20, 0.0]
+    gt[0, 1] = [90, 40, 30, 16, 0.0]
+    targets = {
+        "gt_bboxes": jnp.asarray(gt),
+        "gt_labels": jnp.asarray(np.array([[3, 7, 0, 0, 0, 0]], np.int32)),
+        "gt_mask": jnp.asarray(np.array([[True, True] + [False] * 4])),
+    }
+    losses = m.loss(images, targets)
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), (k, float(v))
+    det = m.predict(images)
+    assert det["polys"].shape == (1, 16, 8)
