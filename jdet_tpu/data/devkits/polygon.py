@@ -99,10 +99,15 @@ def poly_intersection_areas(p1, p2):
 
 def poly_iou(p1, p2):
     """Pairwise IoU matrix (n, m) of 8-coord quads (reference `iou_poly`,
-    ops/nms_poly.py:247)."""
+    ops/nms_poly.py:247). Uses the native C++ kernel when available."""
     n, m = len(p1), len(p2)
     if n == 0 or m == 0:
         return np.zeros((n, m))
+    from ...csrc import poly_iou_native
+
+    native = poly_iou_native(p1, p2)
+    if native is not None:
+        return native
     pp1 = np.repeat(p1, m, 0)
     pp2 = np.tile(p2, (n, 1))
     inter = poly_intersection_areas(pp1, pp2).reshape(n, m)
@@ -121,9 +126,14 @@ def poly_iou_aligned(p1, p2):
 def nms_poly_np(polys, scores, iou_thr):
     """Greedy poly NMS with hbb prefilter (reference
     `py_cpu_nms_poly_fast`, devkits/result_merge.py:69-130). Returns kept
-    indices in score order."""
+    indices in score order. Uses the native C++ kernel when available."""
     if len(polys) == 0:
         return np.zeros((0,), np.int64)
+    from ...csrc import poly_nms_native
+
+    native = poly_nms_native(polys, scores, iou_thr)
+    if native is not None:
+        return native
     xs = polys[:, 0::2]
     ys = polys[:, 1::2]
     hbb = np.stack([xs.min(1), ys.min(1), xs.max(1), ys.max(1)], 1)

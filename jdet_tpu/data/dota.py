@@ -189,3 +189,28 @@ class ImageDataset(CustomDataset):
                 f for f in os.listdir(images_dir) if f.lower().endswith(exts)
             )
         self.img_infos = [{"filename": f, "ann": {}} for f in files]
+
+
+@DATASETS.register_module()
+class DOTAWSOODDataset(DOTADataset):
+    """Weakly-supervised (H2RBox) variant: exposes only the horizontal
+    circumscribed boxes of the annotations (reference data/h2rbox_data.py:27)
+    — the model never sees gt angles."""
+
+    def load_sample(self, idx, rng=None):
+        img, target = super().load_sample(idx, rng)
+        rb = target["rboxes"]
+        if len(rb):
+            from .transforms import rbox_to_poly_np
+
+            polys = rbox_to_poly_np(rb)
+            x1 = polys[:, 0::2].min(1)
+            y1 = polys[:, 1::2].min(1)
+            x2 = polys[:, 0::2].max(1)
+            y2 = polys[:, 1::2].max(1)
+            weak = np.stack(
+                [(x1 + x2) / 2, (y1 + y2) / 2, x2 - x1, y2 - y1,
+                 np.zeros_like(x1)], 1,
+            ).astype(np.float32)
+            target["rboxes"] = weak
+        return img, target

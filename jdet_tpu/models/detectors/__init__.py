@@ -9,3 +9,4 @@ from .h2rbox import H2RBox
 from .single_stage import KnowledgeDistillationSingleStageDetector
 from .single_stage import RotatedRepPoints
 from .single_stage import SSD
+from .single_stage import R3Det

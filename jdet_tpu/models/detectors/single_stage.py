@@ -99,3 +99,9 @@ class RotatedRepPoints(SingleStageDetector):
 class SSD(SingleStageDetector):
     """SSD single-stage detector (reference projects/ssd; SSD_VGG +
     SSDNeck + SSDHead)."""
+
+
+@MODELS.register_module()
+class R3Det(SingleStageDetector):
+    """networks/r3det.py — working completion (the reference file is
+    unfinished; see R3DetHead docstring)."""

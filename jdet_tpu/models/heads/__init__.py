@@ -14,3 +14,4 @@ from .rotated_retina_head import RSDetHead
 from .ld_retina_head import RotatedRetinaDistributionHead, LDRotatedRetinaHead
 from .reppoints_head import RotatedRepPointsHead
 from .ssd_head import SSDHead
+from .r3det_head import R3DetHead

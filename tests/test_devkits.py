@@ -175,3 +175,42 @@ def test_write_submission(tmp_path):
     content = open(files[0]).read()
     assert content.startswith("P0001 0.5000")
     assert os.path.exists(tmp_path / "sub.zip")
+
+
+def test_native_polygon_kernels_match_numpy():
+    from jdet_tpu.csrc import poly_iou_native, poly_nms_native, get_lib
+    from jdet_tpu.data.devkits import polygon as pg
+
+    assert get_lib() is not None, "native build failed (g++ available?)"
+    p1 = np.stack([rect_poly(rng.uniform(0, 100), rng.uniform(0, 100),
+                             rng.uniform(5, 30), rng.uniform(5, 30))
+                   for _ in range(40)])
+    p2 = np.stack([rect_poly(rng.uniform(0, 100), rng.uniform(0, 100),
+                             rng.uniform(5, 30), rng.uniform(5, 30))
+                   for _ in range(30)])
+    native = poly_iou_native(p1, p2)
+    # numpy reference (bypass native dispatch)
+    pp1 = np.repeat(p1, len(p2), 0)
+    pp2 = np.tile(p2, (len(p1), 1))
+    inter = pg.poly_intersection_areas(pp1, pp2).reshape(len(p1), len(p2))
+    a1 = pg.quad_area(p1)[:, None]
+    a2 = pg.quad_area(p2)[None, :]
+    ref = np.where(a1 + a2 - inter > 1e-9, inter / (a1 + a2 - inter), 0)
+    assert np.abs(native - ref).max() < 1e-9
+
+    scores = rng.rand(40)
+    kn = poly_nms_native(p1, scores, 0.3)
+    # numpy greedy oracle
+    order = np.argsort(-scores)
+    keep, supp = [], np.zeros(40, bool)
+    for i in order:
+        if supp[i]:
+            continue
+        keep.append(i)
+        for j in order:
+            if supp[j] or j == i or scores[j] > scores[i]:
+                continue
+            if ref_iou := float(poly_iou_native(p1[i][None], p1[j][None])[0, 0]):
+                if ref_iou > 0.3:
+                    supp[j] = True
+    assert sorted(kn.tolist()) == sorted(keep)

@@ -185,3 +185,37 @@ def test_ssd_end_to_end():
         assert np.isfinite(float(v)), (k, float(v))
     det = m.predict(images)
     assert det["polys"].shape == (1, 16, 8)
+
+
+def test_r3det_end_to_end():
+    m = build_detector(
+        dict(
+            type="R3Det",
+            backbone=dict(type="ResNet", depth=18, frozen_stages=-1),
+            neck=dict(type="FPN", out_channels=32, num_outs=5, start_level=1,
+                      add_extra_convs="on_input"),
+            bbox_head=dict(
+                type="R3DetHead", num_classes=16, in_channels=32,
+                feat_channels=32, stacked_convs=1,
+                octave_base_scale=4, scales_per_octave=1,
+                anchor_ratios=[1.0],
+                test_cfg=dict(nms_pre=64, max_per_img=8),
+            ),
+        ),
+        seed=0,
+    )
+    images = jnp.asarray(rng.rand(1, 128, 128, 3).astype(np.float32))
+    gt = np.zeros((1, 6, 5), np.float32)
+    gt[0, 0] = [60, 60, 40, 20, 0.4]
+    targets = {
+        "gt_bboxes": jnp.asarray(gt),
+        "gt_labels": jnp.asarray(np.array([[3, 0, 0, 0, 0, 0]], np.int32)),
+        "gt_mask": jnp.asarray(np.array([[True] + [False] * 5])),
+    }
+    losses = m.loss(images, targets)
+    assert set(losses) == {"loss_init_cls", "loss_init_bbox",
+                           "loss_refine_cls", "loss_refine_bbox"}
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), (k, float(v))
+    det = m.predict(images)
+    assert det["polys"].shape == (1, 8, 8)
