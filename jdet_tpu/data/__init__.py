@@ -6,3 +6,5 @@ from .transforms import (
     Compose, Resize, RotatedResize, RandomFlip, RotatedRandomFlip,
     RandomRotateAug, Pad, Normalize,
 )
+from .coco import COCODataset, coco_map
+from .dota import DOTAWSOODDataset

@@ -4,8 +4,9 @@ payload shape (`python/jdet/runner/runner.py:224-261`): meta carries
 also accepts raw model-state checkpoints (model_only).
 
 States are nnx flat-states converted to numpy and pickled; this keeps
-checkpoints framework-local and dependency-free (orbax can be layered on
-for async multi-host writes later).
+checkpoints framework-local and dependency-free. For async multi-host
+writes, `save_checkpoint_orbax` uses orbax when available (SURVEY §5:
+"optional orbax async ckpt").
 """
 from __future__ import annotations
 
@@ -75,3 +76,22 @@ def load_checkpoint(path, model, optimizer=None, model_only=False):
             numpy_to_state(nnx.state(optimizer), payload["optimizer"], strict=False),
         )
     return payload.get("meta", {})
+
+
+def save_checkpoint_orbax(path, model, optimizer=None, meta=None):
+    """Async checkpoint via orbax (multi-host safe); falls back to the
+    pickle writer when orbax is unavailable."""
+    try:
+        import orbax.checkpoint as ocp
+    except Exception:
+        return save_checkpoint(path, model, optimizer, meta)
+    payload = {"model": state_to_numpy(nnx.state(model))}
+    if optimizer is not None:
+        payload["optimizer"] = state_to_numpy(nnx.state(optimizer))
+    if meta:
+        payload["meta"] = {k: v for k, v in meta.items()
+                           if isinstance(v, (int, float, str))}
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), payload, force=True)
+    ckptr.wait_until_finished()
+    return path

@@ -307,6 +307,30 @@ class Runner:
             visualize_results(results, ds.CLASSES, images_dir, save_dir)
         return results
 
+    def profile(self, n_steps=10, out_dir=None):
+        """Capture a jax.profiler device trace of the train step
+        (SURVEY §5: TPU equivalent of the reference's timing hooks).
+        View with TensorBoard or xprof."""
+        import jax
+
+        if self._train_step is None:
+            self._build_train_step()
+        out_dir = out_dir or os.path.join(self.work_dir, "profile")
+        gen = self.train_dataset.batches()
+        batch, _ = next(gen)
+        images = jax.numpy.asarray(batch["images"])
+        targets = {k: jax.numpy.asarray(v) for k, v in batch["targets"].items()}
+        # warm up / compile outside the trace
+        self._state, _ = self._train_step(self._state, images, targets)
+        jax.device_get(_)
+        with jax.profiler.trace(out_dir):
+            for _i in range(n_steps):
+                self._state, lv = self._train_step(self._state, images, targets)
+            jax.device_get(lv)
+        if self.logger:
+            self.logger.print_on_screen({"profile_trace": out_dir})
+        return out_dir
+
     def test_time(self, warmup=10, rerun=100):
         """FPS measurement (runner.py:91-115)."""
         import jax

@@ -214,3 +214,55 @@ def test_native_polygon_kernels_match_numpy():
                 if ref_iou > 0.3:
                     supp[j] = True
     assert sorted(kn.tolist()) == sorted(keep)
+
+
+def test_coco_map_perfect_and_miss():
+    from jdet_tpu.data.coco import coco_map
+
+    gt = {0: (np.array([[10, 10, 50, 50], [60, 60, 90, 90]], float),
+              np.array([1, 2]))}
+    # perfect detections
+    dets = {0: (np.array([[10, 10, 50, 50], [60, 60, 90, 90]], float),
+                np.array([0.9, 0.8]), np.array([0, 1]))}
+    out = coco_map(dets, gt, 2)
+    assert out["mAP50"] > 0.99
+    assert out["mAP"] > 0.99
+    # off detections (IoU ~0.5): AP50 high, mAP much lower
+    dets2 = {0: (np.array([[10, 10, 50, 36], [60, 60, 90, 78]], float),
+                 np.array([0.9, 0.8]), np.array([0, 1]))}
+    out2 = coco_map(dets2, gt, 2)
+    assert out2["mAP50"] > 0.99
+    assert out2["mAP"] < 0.7
+    # wrong class: zero
+    dets3 = {0: (np.array([[10, 10, 50, 50]], float), np.array([0.9]),
+                 np.array([1]))}
+    out3 = coco_map(dets3, gt, 2)
+    assert out3["mAP50"] < 0.5
+
+
+def test_coco_dataset_loads(tmp_path):
+    import json as _json
+    import cv2
+    from jdet_tpu.data.coco import COCODataset
+
+    img_dir = tmp_path / "imgs"
+    os.makedirs(img_dir)
+    cv2.imwrite(str(img_dir / "a.png"), np.zeros((64, 64, 3), np.uint8))
+    ann = {
+        "images": [{"id": 1, "file_name": "a.png", "width": 64, "height": 64}],
+        "annotations": [
+            {"id": 1, "image_id": 1, "category_id": 7,
+             "bbox": [10, 10, 20, 12], "iscrowd": 0},
+        ],
+        "categories": [{"id": 7, "name": "cat"}, {"id": 9, "name": "dog"}],
+    }
+    ann_file = tmp_path / "instances.json"
+    ann_file.write_text(_json.dumps(ann))
+    ds = COCODataset(annotations_file=str(ann_file), images_dir=str(img_dir),
+                     image_size=(64, 64), max_gt=4)
+    assert ds.CLASSES == ["cat", "dog"]
+    assert len(ds) == 1
+    img, target = ds.load_sample(0)
+    assert target["rboxes"].shape == (1, 5)
+    assert np.allclose(target["rboxes"][0], [20, 16, 20, 12, 0], atol=1e-4)
+    assert target["labels"][0] == 1
