@@ -266,3 +266,18 @@ def test_coco_dataset_loads(tmp_path):
     assert target["rboxes"].shape == (1, 5)
     assert np.allclose(target["rboxes"][0], [20, 16, 20, 12, 0], atol=1e-4)
     assert target["labels"][0] == 1
+
+
+def test_draw_polys():
+    from jdet_tpu.utils.visualization import draw_polys
+
+    img = np.zeros((64, 64, 3), np.uint8)
+    polys = rect_poly(32, 32, 20, 10)[None]
+    out = draw_polys(img, polys, np.array([0.9]), np.array([2]),
+                     ["a", "b", "c"], score_thr=0.5)
+    assert out.shape == img.shape
+    assert (out > 0).any()  # something was drawn
+    # below-threshold detection draws nothing
+    out2 = draw_polys(img, polys, np.array([0.1]), np.array([2]),
+                      ["a", "b", "c"], score_thr=0.5)
+    assert not (out2 > 0).any()
