@@ -25,9 +25,13 @@ class SingleStageDetector(nnx.Module):
             feats = self.neck(feats, train)
         return feats
 
-    def loss(self, images, targets):
+    def loss(self, images, targets, key=None):
         """Training forward: images (B, H, W, 3) NHWC, targets dict with
-        gt_bboxes/gt_labels/gt_mask. Returns dict of scalar losses."""
+        gt_bboxes/gt_labels/gt_mask. Returns dict of scalar losses.
+        `key` is the per-step PRNG key threaded by the Runner; single-stage
+        anchor targeting is deterministic so it is unused here, but
+        subclasses with stochastic training paths (H2RBox) consume it."""
+        del key
         feats = self.extract_feat(images, train=True)
         outs = self.bbox_head(feats, train=True)
         return self.bbox_head.loss(outs, targets)
@@ -76,9 +80,10 @@ class KnowledgeDistillationSingleStageDetector(SingleStageDetector):
 
             load_checkpoint(teacher_ckpt, self.teacher, model_only=True)
 
-    def loss(self, images, targets):
+    def loss(self, images, targets, key=None):
         import jax
 
+        del key
         feats = self.extract_feat(images, train=True)
         outs = self.bbox_head(feats, train=True)
         if self.teacher is None:

@@ -6,6 +6,10 @@ and `python/jdet/utils/general.py:40-41`): instead of MPI all-reduce hooks,
 we lay a 1-D `data` mesh over the chips, shard the batch along it, keep
 parameters replicated, and let XLA/GSPMD insert the gradient psum over ICI.
 
+`build_train_step` is the single source of truth for the sharded train
+step: the Runner and `__graft_entry__.dryrun_multichip` both use it, so the
+dryrun exercises the exact production sharding.
+
 Host-side gating that the reference does with `jt.rank == 0` maps to
 `jax.process_index() == 0`.
 """
@@ -21,12 +25,23 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 
 
-def make_mesh(n_devices=None, devices=None):
-    """1-D data-parallel mesh. For multi-host, devices default to all."""
+def make_mesh(n_devices=None, devices=None, batch_size=None):
+    """1-D data-parallel mesh.
+
+    If `batch_size` is given, the mesh is restricted to the largest device
+    count that evenly divides it, so the batch dim can always be sharded
+    (mirror of the reference's `drop_last=jt.in_mpi` divisibility care,
+    runner/runner.py:44).
+    """
     if devices is None:
         devices = jax.devices()
         if n_devices is not None:
             devices = devices[:n_devices]
+    if batch_size:
+        n = len(devices)
+        while n > 1 and batch_size % n != 0:
+            n -= 1
+        devices = devices[:n]
     return Mesh(np.asarray(devices), (DATA_AXIS,))
 
 
@@ -54,11 +69,80 @@ def is_main_process():
     return jax.process_index() == 0
 
 
+def build_train_step(model, optimizer, mesh, with_key=True):
+    """Build the jit-compiled data-parallel train step.
+
+    Sharding layout (reference DP semantics, Jittor-MPI grad all-reduce):
+    params/opt state replicated (P()), batch sharded on the leading dim
+    over DATA_AXIS; XLA/GSPMD inserts the gradient all-reduce over ICI.
+
+    Returns (graphdef, state, step) where
+    ``step(state, images, targets, root_key, it) -> (new_state, log_vars)``.
+    The per-step RNG is ``fold_in(root_key, it)`` so every stochastic
+    component (RoI RandomSampler, H2RBox view rotation) draws fresh noise
+    each iteration (reference `models/boxes/sampler.py:134`,
+    `networks/h2rbox.py:35-75`).
+    """
+    from flax import nnx
+
+    from ..utils.general import parse_losses
+
+    graphdef, state = nnx.split((model, optimizer))
+    rep = replicated_sharding(mesh)
+    dat = batch_sharding(mesh)
+    state = replicate(state, mesh)
+
+    @partial(
+        jax.jit,
+        in_shardings=(rep, dat, dat, rep, rep),
+        out_shardings=(rep, rep),
+        donate_argnums=(0,),
+    )
+    def step(state, images, targets, root_key, it):
+        m, opt = nnx.merge(graphdef, state)
+        key = jax.random.fold_in(root_key, it)
+
+        def loss_fn(m):
+            losses = m.loss(images, targets, key=key) if with_key else m.loss(
+                images, targets
+            )
+            return parse_losses(losses)
+
+        (total, log_vars), grads = nnx.value_and_grad(
+            loss_fn, has_aux=True
+        )(m)
+        opt.update(m, grads)
+        _, new_state = nnx.split((m, opt))
+        return new_state, log_vars
+
+    return graphdef, state, step
+
+
 def psum_scalar_metrics(metrics, mesh=None):
-    """All-reduce scalar metrics across data shards — mirror of `sync`
-    (utils/general.py:30-48). Under jit+GSPMD scalars are already global;
-    this is for explicitly per-host values."""
+    """Mean each scalar metric across all processes — the mirror of the
+    reference's `sync()` MPI all-reduce (utils/general.py:30-48).
+
+    Values produced inside the jitted step from a sharded batch are already
+    global (GSPMD semantics); this handles explicitly per-process host
+    values in multi-controller runs.
+    """
+    del mesh
+
+    def _host(x):
+        return float(np.asarray(jax.device_get(x)).mean()) if hasattr(
+            x, "shape"
+        ) or isinstance(x, (int, float, np.floating)) else x
+
+    metrics = jax.tree.map(_host, metrics)
+    if jax.process_count() == 1:
+        return metrics
+    from jax.experimental import multihost_utils
+
     return jax.tree.map(
-        lambda x: jax.device_get(x).mean() if hasattr(x, "shape") else x,
+        lambda x: float(
+            multihost_utils.process_allgather(np.asarray(x)).mean()
+        )
+        if isinstance(x, (int, float, np.floating))
+        else x,
         metrics,
     )
