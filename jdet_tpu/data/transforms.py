@@ -289,6 +289,211 @@ class Pad(_Base):
         return out, target
 
 
+def _hbb_iou_np(patch, boxes):
+    """IoU of one (4,) patch against (n, 4) boxes."""
+    x1 = np.maximum(patch[0], boxes[:, 0])
+    y1 = np.maximum(patch[1], boxes[:, 1])
+    x2 = np.minimum(patch[2], boxes[:, 2])
+    y2 = np.minimum(patch[3], boxes[:, 3])
+    inter = np.clip(x2 - x1, 0, None) * np.clip(y2 - y1, 0, None)
+    area_p = (patch[2] - patch[0]) * (patch[3] - patch[1])
+    area_b = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+    return inter / np.clip(area_p + area_b - inter, 1e-9, None)
+
+
+def _box_centers(target):
+    """(n, 2) centers from whichever box key is present (priority hbb)."""
+    for key in ("hboxes", "bboxes"):
+        b = target.get(key)
+        if b is not None and len(b):
+            return (b[:, :2] + b[:, 2:4]) / 2, key
+    b = target.get("rboxes")
+    if b is not None and len(b):
+        return b[:, :2].copy(), "rboxes"
+    b = target.get("polys")
+    if b is not None and len(b):
+        p = b.reshape(-1, 4, 2)
+        return p.mean(1), "polys"
+    return np.zeros((0, 2), np.float32), None
+
+
+def _translate_boxes(target, dx, dy, mask=None):
+    """Shift every box key by (dx, dy); optionally filter rows by mask."""
+    for key in _BOX_KEYS:
+        b = target.get(key)
+        if b is None or getattr(b, "ndim", 0) != 2 or len(b) == 0:
+            continue
+        b = b.copy()
+        if mask is not None and not key.endswith("_ignore"):
+            b = b[mask]
+        if "rboxes" in key:
+            b[:, 0] += dx
+            b[:, 1] += dy
+        else:
+            b[:, 0::2] += dx
+            b[:, 1::2] += dy
+        target[key] = b
+    if mask is not None:
+        for key in ("labels", "difficult"):
+            v = target.get(key)
+            if v is not None and len(v) == len(mask):
+                target[key] = v[mask]
+
+
+@TRANSFORMS.register_module()
+class MinIoURandomCrop(_Base):
+    """Random crop constrained by min IoU with every GT — the SSD train
+    crop (reference transforms.py:155-225). Sample a mode from
+    (1, *min_ious, 0); mode 1 keeps the image; otherwise retry up to 50
+    crops until every box's IoU with the patch >= mode and at least one
+    box center lies inside, then filter boxes by center-in-patch, clip
+    hbb coords to the patch, and translate everything into crop frame.
+    """
+
+    def __init__(self, min_ious=(0.1, 0.3, 0.5, 0.7, 0.9),
+                 min_crop_size=0.3, bbox_clip_border=True):
+        self.sample_mode = (1, *min_ious, 0)
+        self.min_crop_size = min_crop_size
+        self.bbox_clip_border = bbox_clip_border
+
+    def __call__(self, image, target=None, rng=None):
+        rng = rng or np.random.default_rng()
+        h, w = image.shape[:2]
+        centers, ckey = _box_centers(target or {})
+        while True:
+            mode = self.sample_mode[int(rng.integers(len(self.sample_mode)))]
+            if mode == 1:
+                return image, target
+            min_iou = mode
+            for _ in range(50):
+                new_w = rng.uniform(self.min_crop_size * w, w)
+                new_h = rng.uniform(self.min_crop_size * h, h)
+                if new_h / new_w < 0.5 or new_h / new_w > 2:
+                    continue
+                left = rng.uniform(0, w - new_w)
+                top = rng.uniform(0, h - new_h)
+                patch = np.array(
+                    [int(left), int(top), int(left + new_w), int(top + new_h)],
+                    np.float32,
+                )
+                if patch[2] == patch[0] or patch[3] == patch[1]:
+                    continue
+                mask = None
+                if len(centers):
+                    hb = target.get("hboxes")
+                    if hb is None or not len(hb):
+                        hb = target.get("bboxes")
+                    if hb is not None and len(hb):
+                        overlaps = _hbb_iou_np(patch, hb)
+                        if overlaps.min() < min_iou:
+                            continue
+                    mask = (
+                        (centers[:, 0] > patch[0]) & (centers[:, 1] > patch[1])
+                        & (centers[:, 0] < patch[2]) & (centers[:, 1] < patch[3])
+                    )
+                    if not mask.any():
+                        continue
+                image_crop = np.ascontiguousarray(
+                    image[int(patch[1]):int(patch[3]),
+                          int(patch[0]):int(patch[2])]
+                )
+                if target is not None:
+                    if self.bbox_clip_border:
+                        for key in ("hboxes", "bboxes"):
+                            b = target.get(key)
+                            if b is None or not len(b):
+                                continue
+                            b = b.copy()
+                            b[:, 0::2] = np.clip(b[:, 0::2], patch[0], patch[2])
+                            b[:, 1::2] = np.clip(b[:, 1::2], patch[1], patch[3])
+                            target[key] = b
+                    _translate_boxes(target, -patch[0], -patch[1], mask=mask)
+                    target["img_size"] = (
+                        image_crop.shape[1], image_crop.shape[0]
+                    )
+                return image_crop, target
+
+
+@TRANSFORMS.register_module()
+class Expand(_Base):
+    """Paste the image into a larger mean-filled canvas — the SSD
+    zoom-out aug (reference transforms.py:228-253)."""
+
+    def __init__(self, mean=(0, 0, 0), ratio_range=(1, 4), prob=0.5):
+        self.mean = np.asarray(mean, np.float32)
+        self.min_ratio, self.max_ratio = ratio_range
+        self.prob = prob
+
+    def __call__(self, image, target=None, rng=None):
+        rng = rng or np.random.default_rng()
+        if rng.random() > self.prob:
+            return image, target
+        h, w = image.shape[:2]
+        ratio = rng.uniform(self.min_ratio, self.max_ratio)
+        nw, nh = int(w * ratio), int(h * ratio)
+        left = int(rng.uniform(0, nw - w))
+        top = int(rng.uniform(0, nh - h))
+        canvas = np.empty((nh, nw, image.shape[2]), image.dtype)
+        canvas[...] = self.mean
+        canvas[top:top + h, left:left + w] = image
+        if target is not None:
+            _translate_boxes(target, left, top)
+            target["img_size"] = (nw, nh)
+        return canvas, target
+
+
+@TRANSFORMS.register_module()
+class PhotoMetricDistortion(_Base):
+    """SSD photometric aug (reference transforms.py:255-263, which wraps
+    ColorJitter): random brightness delta, contrast scale, saturation
+    scale and hue rotation, each applied with prob 0.5. Operates on HWC
+    RGB float arrays in 0-255 scale (pre-Normalize)."""
+
+    def __init__(self, brightness_delta=32, contrast_range=(0.5, 1.5),
+                 saturation_range=(0.5, 1.5), hue_delta=18):
+        self.brightness_delta = brightness_delta
+        self.contrast_range = contrast_range
+        self.saturation_range = saturation_range
+        self.hue_delta = hue_delta
+
+    def __call__(self, image, target=None, rng=None):
+        rng = rng or np.random.default_rng()
+        img = image.astype(np.float32)
+        if rng.random() < 0.5:
+            img = img + rng.uniform(-self.brightness_delta,
+                                    self.brightness_delta)
+        # contrast either before or after saturation/hue (mmdet order coin)
+        contrast_first = rng.random() < 0.5
+
+        def contrast(img):
+            if rng.random() < 0.5:
+                img = img * rng.uniform(*self.contrast_range)
+            return img
+
+        if contrast_first:
+            img = contrast(img)
+        do_sat = rng.random() < 0.5
+        do_hue = rng.random() < 0.5
+        if do_sat or do_hue:
+            hsv = cv2.cvtColor(
+                np.clip(img, 0, 255).astype(np.uint8), cv2.COLOR_RGB2HSV
+            ).astype(np.float32)
+            if do_sat:
+                hsv[..., 1] *= rng.uniform(*self.saturation_range)
+            if do_hue:
+                # OpenCV hue is 0-179 (degrees / 2)
+                hsv[..., 0] = (
+                    hsv[..., 0] + rng.uniform(-self.hue_delta, self.hue_delta) / 2
+                ) % 180
+            hsv[..., 1:] = np.clip(hsv[..., 1:], 0, 255)
+            img = cv2.cvtColor(
+                hsv.astype(np.uint8), cv2.COLOR_HSV2RGB
+            ).astype(np.float32)
+        if not contrast_first:
+            img = contrast(img)
+        return np.clip(img, 0, 255), target
+
+
 @TRANSFORMS.register_module()
 class Normalize(_Base):
     def __init__(self, mean, std, to_bgr=True):

@@ -249,6 +249,11 @@ class RotatedRetinaHead(nnx.Module):
             )
             flat_p = decoded.reshape(-1, 5)
             flat_t = tgt["bbox_targets"].reshape(-1, 5)
+            extra = (
+                {"compat_ref": cfg["compat_ref"]}
+                if kind == "kld" and "compat_ref" in cfg
+                else {}
+            )
             return gaussian_dist_loss(
                 flat_p,
                 flat_t,
@@ -257,6 +262,7 @@ class RotatedRetinaHead(nnx.Module):
                 fun=cfg.get("fun", "log1p"),
                 tau=cfg.get("tau", 1.0),
                 avg_factor=num_total,
+                **extra,
             )
         if kind == "kfiou":
             from ..losses import kf_iou_loss

@@ -109,18 +109,27 @@ def kld_loss(
     sqrt=True,
     reduction="mean",
     avg_factor=None,
+    compat_ref=False,
 ):
     """KL divergence D(target || pred-frame) loss
-    (gaussian_dist_loss.py:134-175 structure, corrected inverse)."""
+    (gaussian_dist_loss.py:134-175 structure, corrected inverse).
+
+    ``compat_ref=True`` reproduces the reference's extra division of
+    ``inv(Sigma_p)`` by ``det(Sigma_p)`` (gaussian_dist_loss.py:156-157)
+    bit-for-bit — the published KLD 69.10 baseline was trained *with*
+    that quirk, so parity runs need it; the default is the published
+    (mathematically correct) KL divergence.
+    """
     xy_p, (ap, bp, cp) = xy_wh_r_to_gaussian(pred)
     xy_t, (at, bt, ct) = xy_wh_r_to_gaussian(target)
 
     det_p = jnp.clip(ap * cp - bp * bp, 1e-7, None)
     det_t = jnp.clip(at * ct - bt * bt, 1e-7, None)
     # inverse of Sigma_p: [[cp, -bp], [-bp, ap]] / det_p
-    ia = cp / det_p
-    ib = -bp / det_p
-    ic = ap / det_p
+    inv_scale = det_p * det_p if compat_ref else det_p
+    ia = cp / inv_scale
+    ib = -bp / inv_scale
+    ic = ap / inv_scale
 
     dx = xy_p[..., 0] - xy_t[..., 0]
     dy = xy_p[..., 1] - xy_t[..., 1]

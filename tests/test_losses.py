@@ -158,3 +158,46 @@ def test_smooth_focal_loss_soft_targets():
     tgt = rng.uniform(0, 1, (5, 8)).astype(np.float32)
     out = float(smooth_focal_loss(jnp.asarray(pred), jnp.asarray(tgt), avg_factor=5))
     assert np.isfinite(out) and out > 0
+
+
+def test_kld_compat_ref_matches_reference_quirk():
+    """compat_ref=True reproduces the reference's inv(Sigma)/det(Sigma)
+    artifact (reference gaussian_dist_loss.py:156-157) exactly; numpy
+    transcription of that formula is the oracle."""
+    p = _boxes(16)
+    t = _boxes(16)
+
+    def np_kld_ref(pred, target):
+        def gauss(b):
+            xy = b[:, :2]
+            w, h, r = b[:, 2] / 2, b[:, 3] / 2, b[:, 4]
+            R = np.stack([np.stack([np.cos(r), -np.sin(r)], -1),
+                          np.stack([np.sin(r), np.cos(r)], -1)], -2)
+            S = np.zeros((len(b), 2, 2))
+            S[:, 0, 0] = w
+            S[:, 1, 1] = h
+            Sigma = R @ (S ** 2) @ np.transpose(R, (0, 2, 1))
+            return xy, Sigma
+
+        xy_p, Sp = gauss(pred)
+        xy_t, St = gauss(target)
+        Sp_inv = np.linalg.inv(Sp)
+        Sp_inv = Sp_inv / np.linalg.det(Sp)[:, None, None]  # the quirk
+        d = (xy_p - xy_t)[:, :, None]
+        xy_d = 0.5 * (np.transpose(d, (0, 2, 1)) @ Sp_inv @ d)[:, 0, 0]
+        whr = 0.5 * np.trace(Sp_inv @ St, axis1=1, axis2=2)
+        whr = whr + 0.5 * (np.log(np.linalg.det(Sp)) - np.log(np.linalg.det(St)))
+        whr = whr - 1
+        dist = np.sqrt(np.clip(xy_d + whr, 1e-7, None))
+        return np.log1p(dist)
+
+    want = np_kld_ref(p.astype(np.float64), t.astype(np.float64))
+    got = np.asarray(
+        kld_loss(jnp.asarray(p), jnp.asarray(t), reduction="none", tau=0.0,
+                 compat_ref=True)
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+    plain = np.asarray(
+        kld_loss(jnp.asarray(p), jnp.asarray(t), reduction="none", tau=0.0)
+    )
+    assert not np.allclose(plain, want, rtol=1e-2)
