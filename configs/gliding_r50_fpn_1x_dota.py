@@ -5,6 +5,6 @@ model = dict(
     type="GlidingVertex",
     backbone=dict(type="ResNet", depth=50, frozen_stages=1),
     neck=dict(type="FPN", out_channels=256, num_outs=5),
-    rpn_head=dict(type="RPNHead", in_channels=256, feat_channels=256),
+    rpn_head=dict(type="GlidingRPNHead", in_channels=256, feat_channels=256),
     bbox_head=dict(type="GlidingHead", num_classes=15, in_channels=256),
 )

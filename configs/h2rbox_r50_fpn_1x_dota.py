@@ -9,5 +9,7 @@ model = dict(
     backbone=dict(type="ResNet", depth=50, frozen_stages=1),
     neck=dict(type="FPN", out_channels=256, num_outs=5, start_level=1,
               add_extra_convs="on_output", relu_before_extra_convs=True),
-    bbox_head=dict(type="FCOSHead", num_classes=15, in_channels=256),
+    bbox_head=dict(type="H2RBoxHead", num_classes=15, in_channels=256,
+                   rotation_agnostic_classes=[1, 9, 11],
+                   rect_classes=[9, 11]),
 )

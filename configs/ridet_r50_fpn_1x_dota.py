@@ -1,0 +1,13 @@
+# RIDet (representation-invariant loss) on Rotated RetinaNet R50-FPN 1x
+# (reference loss: losses/ridet_loss.py:80).
+_base_ = ["_base_/dota_1024.py", "_base_/sgd_1x.py"]
+model = dict(
+    type="RotatedRetinaNet",
+    backbone=dict(type="ResNet", depth=50, frozen_stages=1),
+    neck=dict(type="FPN", out_channels=256, num_outs=5, start_level=1,
+              add_extra_convs="on_input"),
+    bbox_head=dict(
+        type="RotatedRetinaHead", num_classes=16, in_channels=256,
+        loss_bbox=dict(type="ridet", beta=1.0, loss_weight=2.0),
+    ),
+)

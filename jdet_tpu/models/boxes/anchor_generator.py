@@ -124,6 +124,55 @@ class AnchorGeneratorRotated:
         return np.repeat(grid.ravel(), self.num_base_anchors)
 
 
+class AnchorGeneratorYangXue(AnchorGeneratorRotated):
+    """YangXue-convention anchors (reference AnchorGeneratorYangXue,
+    anchor_generator.py:756-798): widths are first quantized on a small
+    `yx_base_size` grid (round(w_ratio * yx_base_size)), heights derived
+    as round(ws * ratio), then both rescaled to the true base size — the
+    w/h rounding quirk of the yangxue/rotation-detection repo that the
+    legacy RetinaNet project's pretrained weights expect. Centers sit at
+    center_offset * (yx_base_size - 1).
+
+    Emits (cx, cy, w, h, theta) like the rest of this framework (the
+    reference emits xyxy[+theta]; geometry is identical).
+    """
+
+    def __init__(self, base_size, yx_base_size=4.0, center_offset=0.5, **kw):
+        self.yx_base_size = float(yx_base_size)
+        self.center_offset = center_offset
+        super().__init__(base_size, **kw)
+
+    def _gen_base_anchors(self):
+        base = float(self.base_size)
+        yx = self.yx_base_size
+        x_ctr = self.center_offset * (yx - 1)
+        y_ctr = self.center_offset * (yx - 1)
+        h_ratios = np.sqrt(self.ratios)
+        w_ratios = 1.0 / h_ratios
+        ws0 = np.round(w_ratios * yx)  # quantized on the yx grid
+        hs0 = np.round(ws0 * self.ratios)
+        scale = base / yx
+        ws = (
+            ws0[:, None, None] * scale * self.scales[None, :, None]
+            * np.ones_like(self.angles)[None, None, :]
+        ).reshape(-1)
+        hs = (
+            hs0[:, None, None] * scale * self.scales[None, :, None]
+            * np.ones_like(self.angles)[None, None, :]
+        ).reshape(-1)
+        angles = np.tile(self.angles, len(self.scales) * len(self.ratios))
+        return np.stack(
+            [
+                np.full_like(ws, x_ctr),
+                np.full_like(ws, y_ctr),
+                ws,
+                hs,
+                angles,
+            ],
+            axis=-1,
+        ).astype(np.float32)
+
+
 class AnchorGeneratorRotatedS2ANet(AnchorGeneratorRotated):
     """One square zero-angle anchor per location (S2ANet FAM init anchors).
 

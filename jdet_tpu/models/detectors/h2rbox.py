@@ -80,6 +80,16 @@ class H2RBox(SingleStageDetector):
 
         feats1 = self.extract_feat(images, train=True)
         outs1 = self.bbox_head(feats1, train=True)
+
+        if hasattr(self.bbox_head, "loss_with_aug"):
+            # dedicated H2RBoxHead path (reference h2rbox_head.py:237-243):
+            # rotated view runs only the regression tower; the head owns
+            # the positive-location consistency loss.
+            images2 = rotate_image(images, theta)
+            feats2 = self.extract_feat(images2, train=True)
+            outs_aug = self.bbox_head.forward_aug(feats2, train=True)
+            return self.bbox_head.loss_with_aug(outs1, outs_aug, theta, weak)
+
         losses = self.bbox_head.loss(outs1, weak)
 
         # rotated view (stop grad through the rotation path's inputs only)
@@ -122,12 +132,5 @@ class H2RBox(SingleStageDetector):
         return losses
 
 
-@MODELS.register_module()
-class H2RBoxHead:
-    """Registry alias: the reference's H2RBoxHead is the FCOS-style head
-    used by the H2RBox detector; configs may name either."""
-
-    def __new__(cls, *a, **kw):
-        from ..heads.fcos_head import FCOSHead
-
-        return FCOSHead(*a, **kw)
+# the dedicated H2RBoxHead (HEADS registry) lives in
+# jdet_tpu/models/heads/h2rbox_head.py

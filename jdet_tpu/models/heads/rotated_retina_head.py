@@ -71,6 +71,7 @@ class RotatedRetinaHead(nnx.Module):
         anchor_angles=(0.0,),
         target_means=(0.0,) * 5,
         target_stds=(1.0,) * 5,
+        anchor_generator_cfg=None,
         loss_cls=dict(gamma=2.0, alpha=0.25, loss_weight=1.0),
         loss_bbox=dict(beta=1.0 / 9.0, loss_weight=1.0),
         train_cfg=None,
@@ -96,13 +97,22 @@ class RotatedRetinaHead(nnx.Module):
         base_sizes = (
             list(anchor_strides) if anchor_base_sizes is None else anchor_base_sizes
         )
+        agen_cfg = dict(anchor_generator_cfg or {})
+        agen_type = agen_cfg.pop("type", "rotated")
+        if agen_type in ("yangxue", "AnchorGeneratorYangXue"):
+            from ..boxes.anchor_generator import AnchorGeneratorYangXue
+
+            gen_cls = AnchorGeneratorYangXue
+        else:
+            gen_cls = AnchorGeneratorRotated
         self.anchor_generators = [
-            AnchorGeneratorRotated(
+            gen_cls(
                 bs,
                 octave_base_scale=octave_base_scale,
                 scales_per_octave=scales_per_octave,
                 ratios=anchor_ratios,
                 angles=anchor_angles,
+                **agen_cfg,
             )
             for bs in base_sizes
         ]
@@ -186,7 +196,9 @@ class RotatedRetinaHead(nnx.Module):
         cls_scores, bbox_preds = self._flatten_outs(outs)
 
         bbox_loss_type = self.loss_bbox_cfg.get("type", "smooth_l1")
-        reg_decoded = bbox_loss_type in ("gwd", "kld", "bcd", "iou")
+        reg_decoded = bbox_loss_type in (
+            "gwd", "kld", "bcd", "iou", "poly_iou", "poly_giou", "ridet"
+        )
 
         tcfg = self.train_cfg
         assigner_cfg = dict(tcfg["assigner"])
@@ -309,6 +321,34 @@ class RotatedRetinaHead(nnx.Module):
                 tgt["bbox_targets"].reshape(-1, 5),
                 weight=w1.reshape(-1),
                 mode=cfg.get("mode", "log"),
+                avg_factor=num_total,
+            )
+        if kind in ("poly_iou", "poly_giou"):
+            from ..losses import poly_giou_loss, poly_iou_loss
+
+            decoded = delta2rbox(
+                anchors[None], bbox_preds, self.target_means, self.target_stds
+            )
+            fn = poly_iou_loss if kind == "poly_iou" else poly_giou_loss
+            kw = {"linear": cfg.get("linear", False)} if kind == "poly_iou" else {}
+            return fn(
+                decoded.reshape(-1, 5),
+                tgt["bbox_targets"].reshape(-1, 5),
+                weight=w1.reshape(-1),
+                avg_factor=num_total,
+                **kw,
+            )
+        if kind == "ridet":
+            from ..losses import ridet_loss
+
+            decoded = delta2rbox(
+                anchors[None], bbox_preds, self.target_means, self.target_stds
+            )
+            return ridet_loss(
+                decoded.reshape(-1, 5),
+                tgt["bbox_targets"].reshape(-1, 5),
+                weight=w1.reshape(-1),
+                beta=cfg.get("beta", 1.0),
                 avg_factor=num_total,
             )
         raise ValueError(kind)

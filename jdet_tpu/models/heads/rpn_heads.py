@@ -45,6 +45,9 @@ DEFAULT_RPN_TRAIN_CFG = dict(
 
 class _RPNBase(nnx.Module):
     reg_dim = 4
+    # reference RPNHead NMSes per level (rpn_head.py:111-145); the gliding
+    # variant concatenates all levels first (gliding_rpn_head.py:148-171)
+    cross_level_nms = False
 
     def __init__(
         self,
@@ -222,9 +225,12 @@ class _RPNBase(nnx.Module):
                 size_ok = (w > self.min_bbox_size) & (h > self.min_bbox_size)
             else:
                 size_ok = jnp.ones(boxes.shape[0], bool)
-            # level-offset trick: NMS within levels independently
-            span = hbb.max() - hbb.min() + 1.0
-            hbb_off = hbb + (levels * span)[:, None]
+            if self.cross_level_nms:
+                hbb_off = hbb
+            else:
+                # level-offset trick: NMS within levels independently
+                span = hbb.max() - hbb.min() + 1.0
+                hbb_off = hbb + (levels * span)[:, None]
             order, keep = nms(hbb_off, scores, self.nms_thresh, valid=size_ok)
             sel = jnp.argsort(~keep, stable=True)[: self.nms_post]
             idx = order[sel]
@@ -242,6 +248,19 @@ class _RPNBase(nnx.Module):
 @HEADS.register_module()
 class RPNHead(_RPNBase):
     """Classic hbb RPN (reference rpn_head.py)."""
+
+
+@HEADS.register_module()
+class GlidingRPNHead(_RPNBase):
+    """Gliding Vertex RPN (reference gliding_rpn_head.py): hbb deltas via
+    the GV coder (identical codec math, coder.py:234-320) but a single
+    NMS over the concatenation of all pyramid levels, capped at nms_post,
+    with a higher default nms_thresh (0.7)."""
+
+    cross_level_nms = True
+
+    def __init__(self, *args, nms_thresh=0.7, **kw):
+        super().__init__(*args, nms_thresh=nms_thresh, **kw)
 
 
 @HEADS.register_module()

@@ -7,6 +7,8 @@ from .basic import (
     weight_reduce_loss,
 )
 from .gaussian_dist_loss import gwd_loss, kld_loss, bcd_loss, gaussian_dist_loss
+from .poly_iou_loss import poly_iou_loss, poly_giou_loss
+from .ridet_loss import ridet_loss
 from .kf_iou_loss import kf_iou_loss
 from .iou_loss import rotated_iou_loss
 from .smooth_focal_loss import smooth_focal_loss

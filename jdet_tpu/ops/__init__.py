@@ -31,4 +31,6 @@ from .orn import ORConv2d, rotate_arf, rotation_invariant_pooling, rotation_inva
 from .roi_align_rotated import roi_align, roi_align_rotated
 from .nms import nms, hbb_iou_matrix
 from .riroi_align import riroi_align
-from .roi_ops_extra import psroi_align, roi_pool, FeatureRefineModule
+from .roi_ops_extra import (
+    psroi_align, roi_pool, FeatureRefineModule, dcn_v2_pooling, DCNPooling,
+)

@@ -65,6 +65,154 @@ def roi_pool(feat, rois, out_size=7, spatial_scale=1.0, valid=None):
     return x.max(axis=(3, 5))
 
 
+def _bilinear_gather_batched(feat, bidx, sy, sx):
+    """Bilinear-sample feat (B, H, W, C) at (sy, sx) per roi, roi -> batch
+    via bidx (R,). sy/sx: (R, ...). Returns (R, ..., C)."""
+    B, H, W, C = feat.shape
+    flat = feat.reshape(B * H * W, C)
+    y0 = jnp.floor(sy)
+    x0 = jnp.floor(sx)
+    wy = (sy - y0)[..., None]
+    wx = (sx - x0)[..., None]
+    base = (bidx * H * W).reshape(bidx.shape[0], *([1] * (sy.ndim - 1)))
+
+    def gather(yi, xi):
+        yc = jnp.clip(yi, 0, H - 1).astype(jnp.int32)
+        xc = jnp.clip(xi, 0, W - 1).astype(jnp.int32)
+        return flat[(base + yc * W + xc).reshape(-1)].reshape(*yi.shape, C)
+
+    v00 = gather(y0, x0)
+    v01 = gather(y0, x0 + 1)
+    v10 = gather(y0 + 1, x0)
+    v11 = gather(y0 + 1, x0 + 1)
+    return (v00 * (1 - wy) * (1 - wx) + v01 * (1 - wy) * wx
+            + v10 * wy * (1 - wx) + v11 * wy * wx)
+
+
+def dcn_v2_pooling(feat, rois, offset=None, spatial_scale=1.0, pooled_size=7,
+                   no_trans=False, group_size=1, part_size=None,
+                   sample_per_part=4, trans_std=0.0):
+    """Deformable (PS)RoI pooling — vectorized mirror of the reference
+    CUDA kernel `dcn_v2_pooling_forward` (ops/dcn_v2.py:808-988): each
+    P x P bin averages sample_per_part^2 bilinear taps, shifted by
+    trans_std * offset * roi size; position-sensitive channel routing when
+    group_size > 1.
+
+    feat (B, H, W, C) NHWC; rois (R, 5) [batch_idx, x1, y1, x2, y2];
+    offset (R, 2, part, part) or None. Returns (R, P, P, C_out) with
+    C_out = C // group_size^2.
+    """
+    B, H, W, C = feat.shape
+    R = rois.shape[0]
+    P = pooled_size
+    S = sample_per_part
+    G = group_size
+    part = part_size or P
+
+    bidx = rois[:, 0].astype(jnp.int32)
+    x1 = jnp.round(rois[:, 1]) * spatial_scale - 0.5
+    y1 = jnp.round(rois[:, 2]) * spatial_scale - 0.5
+    x2 = (jnp.round(rois[:, 3]) + 1.0) * spatial_scale - 0.5
+    y2 = (jnp.round(rois[:, 4]) + 1.0) * spatial_scale - 0.5
+    rw = jnp.maximum(x2 - x1, 0.1)
+    rh = jnp.maximum(y2 - y1, 0.1)
+    bin_w = (rw / P)[:, None, None]
+    bin_h = (rh / P)[:, None, None]
+
+    ph = jnp.arange(P)
+    part_h = jnp.clip((ph * part) // P, 0, part - 1)
+    if no_trans or offset is None:
+        tx = ty = jnp.zeros((R, P, P), feat.dtype)
+    else:
+        tx = offset[:, 0][:, part_h][:, :, part_h] * trans_std
+        ty = offset[:, 1][:, part_h][:, :, part_h] * trans_std
+    wstart = ph[None, None, :] * bin_w + x1[:, None, None] + tx * rw[:, None, None]
+    hstart = ph[None, :, None] * bin_h + y1[:, None, None] + ty * rh[:, None, None]
+
+    sw = (bin_w / S)[..., None, None]
+    sh = (bin_h / S)[..., None, None]
+    ii = jnp.arange(S)
+    wpos = wstart[..., None, None] + ii[None, None, None, None, :] * sw
+    hpos = hstart[..., None, None] + ii[None, None, None, :, None] * sh
+    wpos, hpos = jnp.broadcast_arrays(wpos, hpos)  # (R, P, P, S, S)
+    valid = ((wpos >= -0.5) & (wpos <= W - 0.5)
+             & (hpos >= -0.5) & (hpos <= H - 0.5))
+    wc = jnp.clip(wpos, 0.0, W - 1.0)
+    hc = jnp.clip(hpos, 0.0, H - 1.0)
+    sampled = _bilinear_gather_batched(feat, bidx, hc, wc)  # (R,P,P,S,S,C)
+    sampled = jnp.where(valid[..., None], sampled, 0.0)
+    count = valid.sum((-1, -2))
+    out = sampled.sum((3, 4)) / jnp.maximum(count, 1)[..., None].astype(
+        feat.dtype
+    )  # (R, P, P, C)
+    if G > 1:
+        c_out = C // (G * G)
+        gh = jnp.clip((ph * G) // P, 0, G - 1)
+        # channel layout c = (ctop*G + gh)*G + gw (kernel line `int c =`)
+        cidx = ((jnp.arange(c_out)[None, None, :] * G
+                 + gh[:, None, None]) * G + gh[None, :, None])
+        out = jnp.take_along_axis(
+            out, jnp.broadcast_to(cidx[None], (R, P, P, c_out)), axis=-1
+        )
+    return out
+
+
+class DCNPooling(nnx.Module):
+    """Deformable RoI pooling with learned offsets+mask — mirror of the
+    reference DCNPooling (ops/dcn_v2.py:1374-1455): a no-trans pooling
+    pass feeds an MLP that predicts per-bin (dx, dy, mask); the second,
+    offset-shifted pooling pass is modulated by sigmoid(mask).
+
+    Note: the MLP flattens (P, P, C) in NHWC order (the reference
+    flattens NCHW) — functionally equivalent for training from scratch.
+    """
+
+    def __init__(self, spatial_scale, pooled_size, output_dim, no_trans,
+                 group_size=1, part_size=None, sample_per_part=4,
+                 trans_std=0.0, deform_fc_dim=1024, *, rngs):
+        from ..models import nn as jnn
+        from ..models.layers import normal_init
+
+        self.spatial_scale = spatial_scale
+        self.pooled_size = pooled_size
+        self.output_dim = output_dim
+        self.no_trans = no_trans
+        self.group_size = group_size
+        self.part_size = part_size or pooled_size
+        self.sample_per_part = sample_per_part
+        self.trans_std = trans_std
+        if not no_trans:
+            P = pooled_size
+            self.fc1 = jnn.Linear(P * P * output_dim, deform_fc_dim, rngs=rngs)
+            self.fc2 = jnn.Linear(deform_fc_dim, deform_fc_dim, rngs=rngs)
+            self.fc3 = jnn.Linear(
+                deform_fc_dim, P * P * 3,
+                kernel_init=jax.nn.initializers.zeros, rngs=rngs,
+            )
+
+    def _pool(self, feat, rois, offset, no_trans):
+        return dcn_v2_pooling(
+            feat, rois, offset,
+            spatial_scale=self.spatial_scale, pooled_size=self.pooled_size,
+            no_trans=no_trans, group_size=self.group_size,
+            part_size=self.part_size, sample_per_part=self.sample_per_part,
+            trans_std=self.trans_std,
+        )
+
+    def __call__(self, feat, rois):
+        if self.no_trans:
+            return self._pool(feat, rois, None, True)
+        P = self.pooled_size
+        n = rois.shape[0]
+        roi_feat = self._pool(feat, rois, None, True)
+        x = jax.nn.relu(self.fc1(roi_feat.reshape(n, -1)))
+        x = jax.nn.relu(self.fc2(x))
+        om = self.fc3(x).reshape(n, 3, P, P)
+        offset = om[:, :2]
+        mask = jax.nn.sigmoid(om[:, 2])  # (n, P, P)
+        return self._pool(feat, rois, offset, False) * mask[..., None]
+
+
 class FeatureRefineModule(nnx.Module):
     """R3Det feature refinement (ops/fr.py:255-385): bilinear-sample the
     feature map at refined-box centers (+4 edge midpoints when points=5)

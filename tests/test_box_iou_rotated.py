@@ -115,3 +115,48 @@ def test_gradient_flows():
     f0 = f(b1)
     f1 = f(b1.at[0, 0].add(eps))
     assert np.allclose((f1 - f0) / eps, g[0, 0], atol=1e-2)
+
+
+def test_pallas_rect_kernel_parity_interpret():
+    """The Pallas rect-frame kernel (ops/pallas_iou.py) must reproduce the
+    XLA Green's-theorem path bit-close, including identical boxes
+    (IoU exactly 1 via the shared-boundary 1/2 weights), crossed boxes,
+    touching boxes, and batched (vmapped) use."""
+    from jdet_tpu.ops.pallas_iou import box_iou_rotated_pallas
+    import jax
+
+    rng2 = np.random.RandomState(3)
+    K, N = 10, 300
+    gts = np.stack([rng2.uniform(0, 500, K), rng2.uniform(0, 500, K),
+                    rng2.uniform(8, 200, K), rng2.uniform(8, 120, K),
+                    rng2.uniform(-np.pi, np.pi, K)], 1).astype(np.float32)
+    an = np.stack([rng2.uniform(0, 500, N), rng2.uniform(0, 500, N),
+                   rng2.uniform(8, 200, N), rng2.uniform(8, 120, N),
+                   rng2.uniform(-np.pi, np.pi, N)], 1).astype(np.float32)
+    an[:K] = gts                                    # identical
+    an[K:2 * K] = gts
+    an[K:2 * K, 4] += np.pi / 2                     # crossed
+    an[2 * K:3 * K] = gts
+    an[2 * K:3 * K, 0] += gts[:, 2]                 # touching
+
+    want = np.asarray(box_iou_rotated(jnp.asarray(gts), jnp.asarray(an),
+                                      impl="xla"))
+    got = np.asarray(
+        box_iou_rotated_pallas(jnp.asarray(gts), jnp.asarray(an),
+                               interpret=True)
+    )
+    np.testing.assert_allclose(got, want, atol=2e-4)
+    np.testing.assert_allclose(got[np.arange(K), np.arange(K)], 1.0,
+                               atol=1e-5)
+
+    # vmapped over a batch axis (the anchor_target_batch shape)
+    B = 2
+    gts_b = np.stack([gts, gts[::-1]]).astype(np.float32)
+    got_b = np.asarray(
+        jax.vmap(lambda g: box_iou_rotated_pallas(g, jnp.asarray(an),
+                                                  interpret=True))(
+            jnp.asarray(gts_b)
+        )
+    )
+    assert got_b.shape == (B, K, N)
+    np.testing.assert_allclose(got_b[0], want, atol=2e-4)

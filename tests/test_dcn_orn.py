@@ -118,3 +118,110 @@ def test_orconv_rotation_equivariance():
             a = np.rot90(out[..., o * 8 + (k + 2) % 8], 1)[2:-2, 2:-2]
             b = outr[2:-2, 2:-2, o * 8 + k]
             assert np.allclose(a, b, atol=1e-4), (o, k, np.abs(a - b).max())
+
+
+def _np_dcn_v2_pooling(feat_nhwc, rois, offset, spatial_scale, P, no_trans,
+                       group_size, part, S, trans_std):
+    """numpy transcription of the reference DeformablePSROIPoolForwardKernel
+    (ops/dcn_v2.py:856-930), used only as a test oracle."""
+    B, H, W, C = feat_nhwc.shape
+    G = group_size
+    c_out = C // (G * G)
+    R = rois.shape[0]
+    out = np.zeros((R, P, P, c_out), np.float64)
+    for n in range(R):
+        b = int(rois[n, 0])
+        rsw = round(rois[n, 1]) * spatial_scale - 0.5
+        rsh = round(rois[n, 2]) * spatial_scale - 0.5
+        rew = (round(rois[n, 3]) + 1.0) * spatial_scale - 0.5
+        reh = (round(rois[n, 4]) + 1.0) * spatial_scale - 0.5
+        rw = max(rew - rsw, 0.1)
+        rh = max(reh - rsh, 0.1)
+        bw, bh = rw / P, rh / P
+        sw, sh = bw / S, bh / S
+        for ph in range(P):
+            for pw in range(P):
+                part_h = int(np.floor(ph / P * part))
+                part_w = int(np.floor(pw / P * part))
+                if no_trans:
+                    tx = ty = 0.0
+                else:
+                    tx = offset[n, 0, part_h, part_w] * trans_std
+                    ty = offset[n, 1, part_h, part_w] * trans_std
+                wst = pw * bw + rsw + tx * rw
+                hst = ph * bh + rsh + ty * rh
+                gw = min(max(int(pw * G // P), 0), G - 1)
+                gh = min(max(int(ph * G // P), 0), G - 1)
+                for ctop in range(c_out):
+                    c = (ctop * G + gh) * G + gw
+                    s, cnt = 0.0, 0
+                    for ih in range(S):
+                        for iw in range(S):
+                            w = wst + iw * sw
+                            h = hst + ih * sh
+                            if w < -0.5 or w > W - 0.5 or h < -0.5 or h > H - 0.5:
+                                continue
+                            w = min(max(w, 0.0), W - 1.0)
+                            h = min(max(h, 0.0), H - 1.0)
+                            x1, x2 = int(np.floor(w)), int(np.ceil(w))
+                            y1, y2 = int(np.floor(h)), int(np.ceil(h))
+                            dx, dy = w - x1, h - y1
+                            v = (feat_nhwc[b, y1, x1, c] * (1 - dx) * (1 - dy)
+                                 + feat_nhwc[b, y2, x1, c] * (1 - dx) * dy
+                                 + feat_nhwc[b, y1, x2, c] * dx * (1 - dy)
+                                 + feat_nhwc[b, y2, x2, c] * dx * dy)
+                            s += v
+                            cnt += 1
+                    out[n, ph, pw, ctop] = 0.0 if cnt == 0 else s / cnt
+    return out
+
+
+def test_dcn_v2_pooling_matches_cuda_oracle():
+    from jdet_tpu.ops import dcn_v2_pooling
+
+    rs = np.random.RandomState(7)
+    B, H, W = 2, 24, 24
+    P, S, trans_std = 7, 4, 0.1
+    for G in (1, 2):
+        C = 8 * G * G
+        feat = rs.randn(B, H, W, C).astype(np.float32)
+        rois = np.stack([
+            rs.randint(0, B, 6).astype(np.float32),
+            rs.uniform(0, W * 2, 6), rs.uniform(0, H * 2, 6),
+            rs.uniform(W * 2, W * 4, 6), rs.uniform(H * 2, H * 4, 6),
+        ], 1).astype(np.float32)
+        offset = rs.randn(6, 2, P, P).astype(np.float32)
+        for no_trans in (True, False):
+            got = np.asarray(dcn_v2_pooling(
+                jnp.asarray(feat), jnp.asarray(rois), jnp.asarray(offset),
+                spatial_scale=0.25, pooled_size=P, no_trans=no_trans,
+                group_size=G, sample_per_part=S, trans_std=trans_std,
+            ))
+            want = _np_dcn_v2_pooling(
+                feat.astype(np.float64), rois, offset, 0.25, P, no_trans,
+                G, P, S, trans_std,
+            )
+            np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_dcn_pooling_module_trains():
+    from flax import nnx
+    from jdet_tpu.ops import DCNPooling
+
+    rs = np.random.RandomState(3)
+    feat = jnp.asarray(rs.randn(1, 16, 16, 32).astype(np.float32))
+    rois = jnp.asarray(
+        np.array([[0, 8, 8, 40, 40], [0, 0, 0, 60, 60]], np.float32)
+    )
+    m = DCNPooling(spatial_scale=0.25, pooled_size=7, output_dim=32,
+                   no_trans=False, trans_std=0.1, rngs=nnx.Rngs(0))
+    out = m(feat, rois)
+    assert out.shape == (2, 7, 7, 32)
+    assert np.isfinite(np.asarray(out)).all()
+
+    def lf(mm):
+        return (mm(feat, rois) ** 2).mean()
+
+    grads = nnx.grad(lf)(m)
+    leaves = jax.tree.leaves(grads)
+    assert leaves and all(np.isfinite(np.asarray(g)).all() for g in leaves)

@@ -201,3 +201,88 @@ def test_kld_compat_ref_matches_reference_quirk():
         kld_loss(jnp.asarray(p), jnp.asarray(t), reduction="none", tau=0.0)
     )
     assert not np.allclose(plain, want, rtol=1e-2)
+
+
+def test_poly_iou_loss_matches_rotated_iou_oracle():
+    """Differentiable quad-clip IoU == exact Green's-theorem rotated IoU
+    (reference poly_iou_loss vs box_iou_rotated are two routes to the
+    same number)."""
+    from jdet_tpu.models.losses import poly_iou_loss, poly_giou_loss
+    from jdet_tpu.ops.box_iou_rotated import box_iou_rotated_aligned
+
+    p = _boxes(24)
+    t = _boxes(24)
+    # mix of overlapping and disjoint pairs
+    t[:12, :2] = p[:12, :2] + rng.uniform(-10, 10, (12, 2))
+    iou_oracle = np.asarray(
+        box_iou_rotated_aligned(jnp.asarray(p), jnp.asarray(t))
+    )
+    loss = np.asarray(
+        poly_iou_loss(jnp.asarray(p), jnp.asarray(t), linear=True,
+                      reduction="none")
+    )
+    np.testing.assert_allclose(1 - loss, iou_oracle, atol=2e-3)
+
+    # identity: iou loss ~ 0, giou loss ~ 0
+    li = np.asarray(poly_iou_loss(jnp.asarray(p), jnp.asarray(p),
+                                  linear=True, reduction="none"))
+    lg = np.asarray(poly_giou_loss(jnp.asarray(p), jnp.asarray(p),
+                                   reduction="none"))
+    assert (li < 1e-2).all() and (lg < 1e-2).all()
+
+    # gradients flow and are finite
+    g = jax.grad(lambda x: poly_giou_loss(x, jnp.asarray(t)))(jnp.asarray(p))
+    assert np.isfinite(np.asarray(g)).all()
+    assert np.abs(np.asarray(g)).sum() > 0
+
+    # giou penalizes disjoint pairs more as they separate
+    far = p.copy()
+    far[:, 0] += 200
+    l_far = float(poly_giou_loss(jnp.asarray(far), jnp.asarray(p)))
+    near = p.copy()
+    near[:, 0] += 60
+    l_near = float(poly_giou_loss(jnp.asarray(near), jnp.asarray(p)))
+    assert l_far > l_near > 0
+
+
+def test_poly_iou_loss_accepts_polys():
+    from jdet_tpu.models.losses import poly_iou_loss
+    from jdet_tpu.data.transforms import rbox_to_poly_np
+
+    p = _boxes(8)
+    out5 = np.asarray(poly_iou_loss(jnp.asarray(p), jnp.asarray(p),
+                                    linear=True, reduction="none"))
+    out8 = np.asarray(
+        poly_iou_loss(jnp.asarray(rbox_to_poly_np(p)),
+                      jnp.asarray(rbox_to_poly_np(p)),
+                      linear=True, reduction="none")
+    )
+    np.testing.assert_allclose(out5, out8, atol=1e-4)
+
+
+def test_ridet_loss_representation_invariant():
+    """The Hungarian geometry metric must give identical loss for the two
+    equivalent obb parameterizations (w,h,theta) and (h,w,theta+pi/2) —
+    the whole point of RIDet (reference ridet_loss.py:40-45)."""
+    from jdet_tpu.models.losses import ridet_loss
+
+    p = _boxes(16)
+    t = _boxes(16)
+    base = np.asarray(ridet_loss(jnp.asarray(p), jnp.asarray(t),
+                                 reduction="none"))
+    t_swap = t[:, [0, 1, 3, 2, 4]].copy()
+    t_swap[:, 4] += np.pi / 2
+    swapped = np.asarray(ridet_loss(jnp.asarray(p), jnp.asarray(t_swap),
+                                    reduction="none"))
+    np.testing.assert_allclose(base, swapped, rtol=1e-3, atol=1e-3)
+
+    # identity ~ 0, grows with center distance, finite grads
+    ident = np.asarray(ridet_loss(jnp.asarray(p), jnp.asarray(p),
+                                  reduction="none"))
+    assert (np.abs(ident) < 1e-2).all()
+    off = p.copy()
+    off[:, 0] += 15
+    moved = float(ridet_loss(jnp.asarray(off), jnp.asarray(p)))
+    assert moved > float(ridet_loss(jnp.asarray(p), jnp.asarray(p)))
+    g = jax.grad(lambda x: ridet_loss(x, jnp.asarray(t)))(jnp.asarray(p))
+    assert np.isfinite(np.asarray(g)).all()

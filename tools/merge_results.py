@@ -21,6 +21,11 @@ def main():
     parser.add_argument("--dataset-type", default="DOTA")
     parser.add_argument("--nms-thr", type=float, default=0.1)
     parser.add_argument("--zip", default=None)
+    parser.add_argument("--images-dir", default="",
+                        help="test images dir (FAIR conversions key every "
+                        "image, even empty ones)")
+    parser.add_argument("--name", default="submission",
+                        help="submission artifact name")
     args = parser.parse_args()
 
     from jdet_tpu.config.constants import get_classes_by_name
@@ -33,10 +38,19 @@ def main():
     with open(args.results, "rb") as f:
         results = pickle.load(f)
     merged = merge_results(results, classes, iou_thr=args.nms_thr)
-    files = write_dota_submission(
-        merged, classes, args.out_dir, zip_path=args.zip
-    )
+    files = write_dota_submission(merged, classes, args.out_dir)
     print(f"wrote {len(files)} submission files to {args.out_dir}")
+
+    if args.dataset_type in ("FAIR", "FAIR1M_1_5") or args.zip:
+        # FAIR flavors convert to XML/csv before packaging
+        # (reference devkits/data_merge.py:68-104)
+        from jdet_tpu.data.devkits.converters import finalize_submission
+
+        artifact = finalize_submission(
+            args.out_dir, args.out_dir, args.name, args.dataset_type,
+            images_dir=args.images_dir, zip_path=args.zip,
+        )
+        print(f"submission artifact: {artifact}")
 
 
 if __name__ == "__main__":

@@ -30,7 +30,35 @@ def main():
     assert pcfg, "config needs a `preprocess` section"
     classes = get_classes_by_name(pcfg.get("dataset_type", "DOTA"))
 
-    for task in pcfg["tasks"]:
+    # optional format-conversion step before tiling (reference
+    # tools/preprocess.py:23-55): SSDD/SSDD+ -> DOTA (+labels.pkl, no
+    # tiling needed), FAIR -> DOTA (then tiled below).
+    conv = pcfg.get("convert")
+    if conv:
+        ctype = conv["type"]
+        if ctype in ("SSDD", "SSDD+"):
+            from jdet_tpu.data.devkits.converters import ssdd_to_dota
+
+            for task in conv["tasks"]:
+                out_path = task["out_dir"]
+                print(f"[preprocess] ssdd_to_dota -> {out_path}")
+                ssdd_to_dota(
+                    task["image_dir"], task["label_dir"], out_path,
+                    resize=conv.get("resize", 512), plus=ctype == "SSDD+",
+                )
+                convert_to_pkl(out_path, os.path.join(out_path, "labels.pkl"),
+                               classes, trainval=True,
+                               filter_empty_gt=task.get("filter_empty_gt", True))
+        elif ctype in ("FAIR", "FAIR1M_1_5"):
+            from jdet_tpu.data.devkits.converters import fair_to_dota
+
+            for task in conv["tasks"]:
+                print(f"[preprocess] fair_to_dota -> {task['out_dir']}")
+                fair_to_dota(task["in_dir"], task["out_dir"])
+        else:
+            raise ValueError(f"unknown convert type {ctype}")
+
+    for task in pcfg.get("tasks", []):
         out_dir = task["out_dir"]
         if args.clear and os.path.exists(out_dir):
             import shutil
