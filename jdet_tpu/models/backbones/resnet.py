@@ -162,6 +162,12 @@ class ResNet(nnx.Module):
         # small-batch detection; reference resnet.py:145-157)
         bn_train = train and not self.norm_eval
         x = self._stem(x, bn_train and self.frozen_stages < 0)
+        if train and self.frozen_stages >= 0:
+            # frozen stages take no gradient (reference stop_grad,
+            # resnet.py:145-157). Cutting the tape here also lets XLA drop
+            # the whole backward through the stem (~8% of a retina train
+            # step was frozen-stem conv/bn/maxpool grads).
+            x = jax.lax.stop_gradient(x)
         outs = []
         for i, stage in enumerate(
             [self.layer1, self.layer2, self.layer3, self.layer4], start=1
@@ -169,6 +175,8 @@ class ResNet(nnx.Module):
             stage_train = bn_train and i > self.frozen_stages
             for blk in stage:
                 x = blk(x, stage_train)
+            if train and i <= self.frozen_stages:
+                x = jax.lax.stop_gradient(x)
             if f"layer{i}" in self.return_stages:
                 outs.append(x)
         return tuple(outs)

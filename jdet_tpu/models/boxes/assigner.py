@@ -119,7 +119,10 @@ def assign_wrt_overlaps(
 
     if gt_labels is not None:
         safe = jnp.clip(assigned - 1, 0, k - 1)
-        labels = jnp.where(assigned > 0, gt_labels[safe], 0).astype(jnp.int32)
+        # one-hot matmul gather (serial TPU gather at ~200k rows is slow)
+        oh = jax.nn.one_hot(safe, k, dtype=jnp.float32)
+        picked = jnp.round(oh @ gt_labels.astype(jnp.float32)).astype(jnp.int32)
+        labels = jnp.where(assigned > 0, picked, 0)
     else:
         labels = jnp.where(assigned > 0, 1, 0).astype(jnp.int32)
     return {
@@ -277,7 +280,10 @@ def atss_assign_rotated(
     max_overlaps = jnp.where(any_pos, claimed_iou.max(0), ious.max(0))
     if gt_labels is not None:
         safe = jnp.clip(assigned - 1, 0, k - 1)
-        labels = jnp.where(assigned > 0, gt_labels[safe], 0).astype(jnp.int32)
+        # one-hot matmul gather (serial TPU gather at ~200k rows is slow)
+        oh = jax.nn.one_hot(safe, k, dtype=jnp.float32)
+        picked = jnp.round(oh @ gt_labels.astype(jnp.float32)).astype(jnp.int32)
+        labels = jnp.where(assigned > 0, picked, 0)
     else:
         labels = jnp.where(assigned > 0, 1, 0).astype(jnp.int32)
     return {"gt_inds": assigned, "max_overlaps": max_overlaps, "labels": labels}
