@@ -8,3 +8,4 @@ from .transforms import (
 )
 from .coco import COCODataset, coco_map
 from .dota import DOTAWSOODDataset
+from .yolo import YoloDataset

@@ -56,4 +56,8 @@ def build_detector(cfg, rngs=None, seed=0):
         cfg.pop("teacher", None)
         cfg.pop("teacher_ckpt", None)
     det_cls = MODELS.get(det_type)
+    import inspect
+
+    if "rngs" in inspect.signature(det_cls.__init__).parameters:
+        return det_cls(**parts, **cfg, rngs=rngs)
     return det_cls(**parts, **cfg)

@@ -10,3 +10,4 @@ from .single_stage import KnowledgeDistillationSingleStageDetector
 from .single_stage import RotatedRepPoints
 from .single_stage import SSD
 from .single_stage import R3Det
+from .yolo import YOLO

@@ -1,0 +1,551 @@
+"""YOLOv5 family — yaml-parsed CSP network, Detect head, fixed-shape loss.
+
+Capability mirror of the reference YOLO port
+(`python/jdet/models/networks/yolo.py:205-500` + module zoo in
+`models/utils/yolo_modules.py`): the yaml model spec (`backbone`+`head`
+lists of [from, number, module, args] with depth/width multiples) is
+parsed into a flat layer list with skip routing (`parse_model`,
+yolo.py:503-570); `Detect` (yolo.py:165-200) emits na*(nc+5) maps per
+level; training uses the v5 target builder (`build_targets`,
+yolo.py:437-500: wh-ratio anchor matching to the center cell) with
+CIoU box loss, objectness BCE against the detached IoU, and smoothed
+BCE classification (`compute_loss`, yolo.py:383-435).
+
+TPU redesign:
+  - NHWC + flax nnx modules; SiLU Conv-BN blocks; Focus is a
+    space-to-depth reshape (no strided slice gather).
+  - build_targets is fully fixed-shape: every (gt k, anchor a) pair is
+    matched by the wh-ratio test into its center cell; predictions at
+    matched cells are fetched with a (K, HW) one-hot matmul and the
+    objectness target is a small scatter-max — no boolean filtering, so
+    the whole loss jits with static shapes.
+  - inference decodes all levels and runs the fixed-shape hbb NMS
+    (ops/nms.py) per class via score-offset trick.
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import nnx
+
+from .. import nn as jnn
+from ..layers import max_pool, resize_nearest
+from ...ops.nms import nms
+from ...utils.registry import MODELS
+
+# yolov5s spec (reference configs/yolov5s.yaml layout)
+YOLOV5S = dict(
+    nc=80,
+    depth_multiple=0.33,
+    width_multiple=0.50,
+    anchors=[
+        [10, 13, 16, 30, 33, 23],
+        [30, 61, 62, 45, 59, 119],
+        [116, 90, 156, 198, 373, 326],
+    ],
+    backbone=[
+        [-1, 1, "Focus", [64, 3]],
+        [-1, 1, "Conv", [128, 3, 2]],
+        [-1, 3, "C3", [128]],
+        [-1, 1, "Conv", [256, 3, 2]],
+        [-1, 9, "C3", [256]],
+        [-1, 1, "Conv", [512, 3, 2]],
+        [-1, 9, "C3", [512]],
+        [-1, 1, "Conv", [1024, 3, 2]],
+        [-1, 1, "SPP", [1024, [5, 9, 13]]],
+        [-1, 3, "C3", [1024, False]],
+    ],
+    head=[
+        [-1, 1, "Conv", [512, 1, 1]],
+        [-1, 1, "Upsample", [2]],
+        [[-1, 6], 1, "Concat", [1]],
+        [-1, 3, "C3", [512, False]],
+        [-1, 1, "Conv", [256, 1, 1]],
+        [-1, 1, "Upsample", [2]],
+        [[-1, 4], 1, "Concat", [1]],
+        [-1, 3, "C3", [256, False]],
+        [-1, 1, "Conv", [256, 3, 2]],
+        [[-1, 14], 1, "Concat", [1]],
+        [-1, 3, "C3", [512, False]],
+        [-1, 1, "Conv", [512, 3, 2]],
+        [[-1, 10], 1, "Concat", [1]],
+        [-1, 3, "C3", [1024, False]],
+        [[17, 20, 23], 1, "Detect", []],
+    ],
+)
+
+
+def make_divisible(x, divisor=8):
+    return max(int(math.ceil(x / divisor) * divisor), divisor)
+
+
+class ConvBnAct(nnx.Module):
+    """Conv + BN + SiLU (reference yolo_modules.Conv). Supports conv-bn
+    fusing for inference (reference fuse_conv_and_bn, yolo.py:94-117)."""
+
+    def __init__(self, c1, c2, k=1, s=1, *, rngs):
+        pad = k // 2
+        self.conv = jnn.Conv(
+            c1, c2, (k, k), strides=s, padding=[(pad, pad)] * 2,
+            use_bias=False, rngs=rngs,
+        )
+        self.bn = jnn.BatchNorm(c2, momentum=0.97, epsilon=1e-3, rngs=rngs)
+        self.fused = False
+
+    def __call__(self, x, train=False):
+        if self.fused:
+            return jax.nn.silu(self.conv(x))
+        return jax.nn.silu(
+            self.bn(self.conv(x), use_running_average=not train)
+        )
+
+    def fuse(self):
+        """Fold BN into the conv kernel + bias (inference only)."""
+        scale = self.bn.scale.value / jnp.sqrt(self.bn.var.value + self.bn.epsilon)
+        self.conv.kernel.value = self.conv.kernel.value * scale[None, None, None, :]
+        if self.conv.bias is None:
+            self.conv.use_bias = True
+            self.conv.bias = nnx.Param(
+                self.bn.bias.value - self.bn.mean.value * scale
+            )
+        else:
+            self.conv.bias.value = (
+                self.conv.bias.value * scale
+                + self.bn.bias.value - self.bn.mean.value * scale
+            )
+        self.fused = True
+
+
+class Focus(nnx.Module):
+    """Space-to-depth stem (yolo_modules.Focus): 2x2 pixel shuffle into
+    channels then conv."""
+
+    def __init__(self, c1, c2, k=1, *, rngs):
+        self.conv = ConvBnAct(c1 * 4, c2, k, 1, rngs=rngs)
+
+    def __call__(self, x, train=False):
+        B, H, W, C = x.shape
+        x = x.reshape(B, H // 2, 2, W // 2, 2, C)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(B, H // 2, W // 2, 4 * C)
+        return self.conv(x, train)
+
+
+class Bottleneck(nnx.Module):
+    def __init__(self, c1, c2, shortcut=True, e=0.5, *, rngs):
+        ch = int(c2 * e)
+        self.cv1 = ConvBnAct(c1, ch, 1, 1, rngs=rngs)
+        self.cv2 = ConvBnAct(ch, c2, 3, 1, rngs=rngs)
+        self.add = shortcut and c1 == c2
+
+    def __call__(self, x, train=False):
+        out = self.cv2(self.cv1(x, train), train)
+        return x + out if self.add else out
+
+
+class C3(nnx.Module):
+    """CSP bottleneck with 3 convs (yolo_modules.C3)."""
+
+    def __init__(self, c1, c2, n=1, shortcut=True, e=0.5, *, rngs):
+        ch = int(c2 * e)
+        self.cv1 = ConvBnAct(c1, ch, 1, 1, rngs=rngs)
+        self.cv2 = ConvBnAct(c1, ch, 1, 1, rngs=rngs)
+        self.cv3 = ConvBnAct(2 * ch, c2, 1, 1, rngs=rngs)
+        self.m = nnx.List(
+            [Bottleneck(ch, ch, shortcut, 1.0, rngs=rngs) for _ in range(n)]
+        )
+
+    def __call__(self, x, train=False):
+        y1 = self.cv1(x, train)
+        for b in self.m:
+            y1 = b(y1, train)
+        y2 = self.cv2(x, train)
+        return self.cv3(jnp.concatenate([y1, y2], -1), train)
+
+
+class SPP(nnx.Module):
+    def __init__(self, c1, c2, ks=(5, 9, 13), *, rngs):
+        ch = c1 // 2
+        self.cv1 = ConvBnAct(c1, ch, 1, 1, rngs=rngs)
+        self.cv2 = ConvBnAct(ch * (len(ks) + 1), c2, 1, 1, rngs=rngs)
+        self.ks = tuple(ks)
+
+    def __call__(self, x, train=False):
+        x = self.cv1(x, train)
+        pools = [x] + [max_pool(x, k, 1, "SAME") for k in self.ks]
+        return self.cv2(jnp.concatenate(pools, -1), train)
+
+
+class Detect(nnx.Module):
+    """Per-level 1x1 output convs + anchor decode (yolo.py:165-200)."""
+
+    def __init__(self, nc, anchors, ch, *, rngs):
+        self.nc = nc
+        self.no = nc + 5
+        self.nl = len(anchors)
+        self.na = len(anchors[0]) // 2
+        self.anchors_px = np.asarray(anchors, np.float32).reshape(
+            self.nl, self.na, 2
+        )
+        self.m = nnx.List(
+            [jnn.Conv(c, self.no * self.na, (1, 1), rngs=rngs) for c in ch]
+        )
+        self.stride = None  # filled by YOLO after shape eval
+
+    def init_biases(self, img_size=640):
+        """Prior-prob bias init (yolo.py:_initialize_biases)."""
+        for conv, s in zip(self.m, self.stride):
+            b = np.array(conv.bias.value, np.float32, copy=True).reshape(
+                self.na, -1
+            )
+            b[:, 4] += math.log(8 / (img_size / s) ** 2)
+            b[:, 5:] += math.log(0.6 / (self.nc - 0.99))
+            conv.bias.value = jnp.asarray(b.reshape(-1))
+
+    def __call__(self, feats, train=False):
+        return [m(f) for m, f in zip(self.m, feats)]
+
+
+def parse_model(spec, ch_in=3, *, rngs):
+    """Build the layer list from a v5 yaml dict (yolo.py:503-570)."""
+    gd = spec["depth_multiple"]
+    gw = spec["width_multiple"]
+    anchors = spec["anchors"]
+    nc = spec["nc"]
+    # ch[i] = out channels of layer i (reference resets ch after layer 0,
+    # yolo.py:566-568, so `from` indices address layer outputs directly)
+    layers, routes, ch = [], [], []
+    save = set()
+    for i, (f, n, mtype, args) in enumerate(spec["backbone"] + spec["head"]):
+        n = max(round(n * gd), 1) if n > 1 else n
+        def src_ch(j):
+            return ch_in if i == 0 else ch[j]
+
+        if mtype in ("Conv", "Focus", "C3", "SPP", "Bottleneck"):
+            c1 = src_ch(f if isinstance(f, int) else f[0])
+            c2 = make_divisible(args[0] * gw, 8)
+            if mtype == "Conv":
+                m = ConvBnAct(c1, c2, *args[1:], rngs=rngs)
+            elif mtype == "Focus":
+                m = Focus(c1, c2, *args[1:], rngs=rngs)
+            elif mtype == "C3":
+                m = C3(c1, c2, n, *args[1:], rngs=rngs)
+            elif mtype == "SPP":
+                m = SPP(c1, c2, *args[1:], rngs=rngs)
+            else:
+                m = Bottleneck(c1, c2, *args[1:], rngs=rngs)
+        elif mtype == "Upsample":
+            c2 = src_ch(f)
+            m = ("upsample", args[0])
+        elif mtype == "Concat":
+            c2 = sum(src_ch(x) for x in f)
+            m = ("concat",)
+        elif mtype == "Detect":
+            c2 = 0
+            m = Detect(nc, anchors, [src_ch(x) for x in f], rngs=rngs)
+        else:
+            raise ValueError(mtype)
+        layers.append(m)
+        routes.append(f)
+        if isinstance(f, (list, tuple)):
+            save.update(x for x in f if x != -1)
+        elif f != -1:
+            save.add(f)
+        ch.append(c2)
+    return layers, routes, save
+
+
+@MODELS.register_module()
+class YOLO(nnx.Module):
+    def __init__(
+        self,
+        cfg=None,
+        nc=80,
+        imgsz=640,
+        boxlg=0.05,
+        clslg=0.5,
+        objlg=1.0,
+        anchor_t=4.0,
+        label_smoothing=0.0,
+        conf_thres=0.001,
+        iou_thres=0.65,
+        max_per_img=300,
+        *,
+        rngs: nnx.Rngs,
+    ):
+        spec = dict(YOLOV5S if cfg is None else cfg)
+        if nc:
+            spec["nc"] = nc
+        self.nc = spec["nc"]
+        layers, routes, save = parse_model(spec, rngs=rngs)
+        self.layers = nnx.List([l for l in layers if isinstance(l, nnx.Module)])
+        # static routing plan: (kind, module_index_or_arg, from)
+        self._plan = []
+        mi = 0
+        for m, f in zip(layers, routes):
+            if isinstance(m, nnx.Module):
+                self._plan.append(("mod", mi, f))
+                mi += 1
+            else:
+                self._plan.append((m[0], m[1] if len(m) > 1 else None, f))
+        self._save = save
+
+        self.detect = self.layers[-1]
+        assert isinstance(self.detect, Detect)
+        # strides via shape-only evaluation (reference runs a real forward,
+        # yolo.py:262-268)
+        shapes = jax.eval_shape(
+            lambda x: self._forward_backbone(x, train=False),
+            jax.ShapeDtypeStruct((1, 256, 256, 3), jnp.float32),
+        )
+        self.detect.stride = [256 // s.shape[1] for s in shapes]
+        self.detect.init_biases(imgsz)
+        nl = self.detect.nl
+        self.box_gain = boxlg * 3.0 / nl
+        self.cls_gain = clslg * self.nc / 80.0 * 3.0 / nl
+        self.obj_gain = objlg * (imgsz / 640) ** 2 * 3.0 / nl
+        self.anchor_t = anchor_t
+        self.cp = 1.0 - 0.5 * label_smoothing
+        self.cn = 0.5 * label_smoothing
+        self.conf_thres = conf_thres
+        self.iou_thres = iou_thres
+        self.max_per_img = max_per_img
+        self.gr = 1.0
+
+    # -- network ----------------------------------------------------------
+    def _forward_backbone(self, x, train=False):
+        outs = {}
+        cur = x
+        for i, (kind, arg, f) in enumerate(self._plan):
+            if kind == "mod":
+                m = self.layers[arg]
+                if isinstance(m, Detect):
+                    feats = [outs[j] if j != -1 else cur for j in f]
+                    return feats
+                src = cur if f == -1 else outs[f]
+                cur = m(src, train)
+            elif kind == "upsample":
+                src = cur if f == -1 else outs[f]
+                B, H, W, C = src.shape
+                cur = resize_nearest(src, (H * arg, W * arg))
+            elif kind == "concat":
+                srcs = [cur if j == -1 else outs[j] for j in f]
+                cur = jnp.concatenate(srcs, -1)
+            if i in self._save:
+                outs[i] = cur
+        raise RuntimeError("spec has no Detect layer")
+
+    def forward(self, images, train=False):
+        feats = self._forward_backbone(images, train)
+        return self.detect(feats, train)
+
+    # -- training ---------------------------------------------------------
+    def loss(self, images, targets, key=None):
+        """v5 compute_loss (yolo.py:383-435), fixed shape.
+
+        targets: gt_hboxes (B, K, 4) xyxy pixels (derived from rotated
+        gt_bboxes when absent), gt_labels (B, K) 1-based, gt_mask (B, K).
+        """
+        preds = self.forward(images, train=True)
+        preds = [p.astype(jnp.float32) for p in preds]
+        B = images.shape[0]
+        K = targets["gt_mask"].shape[1]
+        hb = targets.get("gt_hboxes")
+        if hb is None:
+            from ...ops.box_convert import rbox_to_hbox
+
+            hb = rbox_to_hbox(targets["gt_bboxes"])
+        gt_cxy = (hb[..., :2] + hb[..., 2:4]) / 2  # pixels
+        gt_wh = jnp.clip(hb[..., 2:4] - hb[..., :2], 1e-3, None)
+        gmask = targets["gt_mask"]
+        cls0 = jnp.clip(targets["gt_labels"] - 1, 0, self.nc - 1)
+
+        na = self.detect.na
+        balance = [4.0, 1.0, 0.4, 0.1][: self.detect.nl]
+        lbox = 0.0
+        lobj = 0.0
+        lcls = 0.0
+        num_pos_total = 0.0
+        for i, p in enumerate(preds):
+            s = self.detect.stride[i]
+            H, W = p.shape[1:3]
+            pm = p.reshape(B, H * W, na, self.no_per_anchor())
+            anchors_grid = jnp.asarray(
+                self.detect.anchors_px[i] / s
+            )  # (na, 2) in grid units
+            gxy = gt_cxy / s  # (B, K, 2) grid coords
+            gwh = gt_wh / s
+            # wh-ratio anchor match (yolo.py:459-463)
+            r = gwh[:, :, None, :] / anchors_grid[None, None]  # (B,K,na,2)
+            match = jnp.maximum(r, 1.0 / r).max(-1) < self.anchor_t
+            match = match & gmask[:, :, None]
+
+            gi = jnp.clip(gxy[..., 0].astype(jnp.int32), 0, W - 1)
+            gj = jnp.clip(gxy[..., 1].astype(jnp.int32), 0, H - 1)
+            cell = gj * W + gi  # (B, K)
+            # predictions at the matched cells: one-hot (K, HW) matmul
+            oh = jax.nn.one_hot(cell, H * W, dtype=pm.dtype)  # (B,K,HW)
+            ps = jnp.einsum("bkh,bhao->bkao", oh, pm)  # (B,K,na,no)
+
+            pxy = jax.nn.sigmoid(ps[..., :2]) * 2.0 - 0.5
+            pwh = (jax.nn.sigmoid(ps[..., 2:4]) * 2.0) ** 2 * anchors_grid[
+                None, None
+            ]
+            txy = (gxy - jnp.floor(gxy))[:, :, None, :]
+            iou = _ciou_cxcywh(
+                jnp.concatenate([pxy, pwh], -1),
+                jnp.concatenate(
+                    [jnp.broadcast_to(txy, pxy.shape),
+                     jnp.broadcast_to(gwh[:, :, None, :], pwh.shape)], -1
+                ),
+            )  # (B, K, na)
+            mf = match.astype(jnp.float32)
+            n_pos = jnp.maximum(mf.sum(), 1.0)
+            lbox = lbox + ((1.0 - iou) * mf).sum() / n_pos
+            num_pos_total = num_pos_total + mf.sum()
+
+            # objectness target: scatter detached IoU into the map
+            tgt_val = (
+                (1.0 - self.gr)
+                + self.gr * jnp.clip(jax.lax.stop_gradient(iou), 0.0, None)
+            ) * mf  # (B, K, na)
+            tobj = jnp.zeros((B, H * W, na), jnp.float32)
+            bidx = jnp.broadcast_to(jnp.arange(B)[:, None, None], tgt_val.shape)
+            cellb = jnp.broadcast_to(cell[:, :, None], tgt_val.shape)
+            aidx = jnp.broadcast_to(jnp.arange(na)[None, None], tgt_val.shape)
+            tobj = tobj.at[
+                bidx.reshape(-1), cellb.reshape(-1), aidx.reshape(-1)
+            ].max(tgt_val.reshape(-1))
+            lobj = lobj + balance[i] * _bce_mean(pm[..., 4], tobj)
+
+            if self.nc > 1:
+                tcls = (
+                    jax.nn.one_hot(cls0, self.nc) * (self.cp - self.cn) + self.cn
+                )  # (B, K, nc)
+                cls_logits = ps[..., 5:]
+                bce = _bce_none(
+                    cls_logits, jnp.broadcast_to(tcls[:, :, None], cls_logits.shape)
+                )
+                lcls = lcls + (bce * mf[..., None]).sum() / (n_pos * self.nc)
+
+        losses = {
+            "box_loss": lbox * self.box_gain * B,
+            "obj_loss": lobj * self.obj_gain * B,
+            "cls_loss": lcls * self.cls_gain * B,
+        }
+        return losses
+
+    def no_per_anchor(self):
+        return self.detect.no
+
+    # -- inference --------------------------------------------------------
+    def predict(self, images, targets=None):
+        preds = self.forward(images, train=False)
+        preds = [p.astype(jnp.float32) for p in preds]
+        B = images.shape[0]
+        na = self.detect.na
+        zs = []
+        for i, p in enumerate(preds):
+            s = self.detect.stride[i]
+            H, W = p.shape[1:3]
+            y = jax.nn.sigmoid(p.reshape(B, H, W, na, self.detect.no))
+            ys, xs = jnp.meshgrid(
+                jnp.arange(H, dtype=jnp.float32),
+                jnp.arange(W, dtype=jnp.float32),
+                indexing="ij",
+            )
+            grid = jnp.stack([xs, ys], -1)[None, :, :, None, :]
+            xy = (y[..., :2] * 2.0 - 0.5 + grid) * s
+            wh = (y[..., 2:4] * 2.0) ** 2 * jnp.asarray(
+                self.detect.anchors_px[i]
+            )[None, None, None]
+            conf = y[..., 4:5] * y[..., 5:]
+            zs.append(
+                jnp.concatenate([xy, wh, conf], -1).reshape(
+                    B, -1, 4 + self.nc
+                )
+            )
+        z = jnp.concatenate(zs, 1)  # (B, N, 4+nc)
+
+        def _one(zi):
+            boxes = jnp.stack(
+                [zi[:, 0] - zi[:, 2] / 2, zi[:, 1] - zi[:, 3] / 2,
+                 zi[:, 0] + zi[:, 2] / 2, zi[:, 1] + zi[:, 3] / 2], -1
+            )
+            scores = zi[:, 4:]
+            best = scores.max(-1)
+            label = scores.argmax(-1)
+            valid = best > self.conf_thres
+            # per-class NMS via coordinate offset
+            span = boxes.max() - boxes.min() + 1.0
+            off = boxes + (label.astype(boxes.dtype) * span)[:, None]
+            order, keep = nms(off, best, self.iou_thres, valid=valid)
+            sel = jnp.argsort(~keep, stable=True)[: self.max_per_img]
+            idx = order[sel]
+            v = keep[sel]
+            return {
+                "boxes": jnp.where(v[:, None], boxes[idx], 0.0),
+                "scores": jnp.where(v, best[idx], 0.0),
+                "labels": jnp.where(v, label[idx], -1),
+                "valid": v,
+            }
+
+        return jax.vmap(_one)(z)
+
+    def __call__(self, images, targets=None):
+        if targets is not None and "gt_mask" in targets:
+            return self.loss(images, targets)
+        return self.predict(images, targets)
+
+    def fuse(self):
+        """Fold every ConvBnAct's BN into its conv (yolo.py fuse)."""
+        for _, m in self.iter_modules():
+            if isinstance(m, ConvBnAct) and not m.fused:
+                m.fuse()
+        return self
+
+    def iter_modules(self):
+        return nnx.iter_graph(self)
+
+
+def _bce_none(logits, t):
+    return jnp.clip(logits, 0, None) - logits * t + jnp.log1p(
+        jnp.exp(-jnp.abs(logits))
+    )
+
+
+def _bce_mean(logits, t):
+    return _bce_none(logits, t).mean()
+
+
+def _ciou_cxcywh(p, t, eps=1e-7):
+    """CIoU of (..., 4) cxcywh boxes (reference bbox_iou_per_box CIoU)."""
+    px1 = p[..., 0] - p[..., 2] / 2
+    py1 = p[..., 1] - p[..., 3] / 2
+    px2 = p[..., 0] + p[..., 2] / 2
+    py2 = p[..., 1] + p[..., 3] / 2
+    tx1 = t[..., 0] - t[..., 2] / 2
+    ty1 = t[..., 1] - t[..., 3] / 2
+    tx2 = t[..., 0] + t[..., 2] / 2
+    ty2 = t[..., 1] + t[..., 3] / 2
+    iw = jnp.clip(jnp.minimum(px2, tx2) - jnp.maximum(px1, tx1), 0, None)
+    ih = jnp.clip(jnp.minimum(py2, ty2) - jnp.maximum(py1, ty1), 0, None)
+    inter = iw * ih
+    union = (
+        p[..., 2] * p[..., 3] + t[..., 2] * t[..., 3] - inter + eps
+    )
+    iou = inter / union
+    cw = jnp.maximum(px2, tx2) - jnp.minimum(px1, tx1)
+    ch = jnp.maximum(py2, ty2) - jnp.minimum(py1, ty1)
+    c2 = cw * cw + ch * ch + eps
+    rho2 = (p[..., 0] - t[..., 0]) ** 2 + (p[..., 1] - t[..., 1]) ** 2
+    v = (4 / math.pi ** 2) * (
+        jnp.arctan(t[..., 2] / jnp.clip(t[..., 3], eps, None))
+        - jnp.arctan(p[..., 2] / jnp.clip(p[..., 3], eps, None))
+    ) ** 2
+    alpha = v / jnp.clip(1 - iou + v, eps, None)
+    alpha = jax.lax.stop_gradient(alpha)
+    return iou - rho2 / c2 - alpha * v

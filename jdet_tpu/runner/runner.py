@@ -141,6 +141,13 @@ class Runner:
 
         self._train_step = None
         self._predict_fn = None
+        # optional model EMA (reference ModelEMAWraper, networks/yolo.py:57-91)
+        ema_cfg = cfg.ema
+        self._ema_cfg = (
+            dict(ema_cfg) if isinstance(ema_cfg, dict)
+            else ({} if ema_cfg else None)
+        )
+        self.ema = None
 
     # ------------------------------------------------------------------
     @property
@@ -154,6 +161,12 @@ class Runner:
         self._graphdef = graphdef
         self._state = state
         self._train_step = step
+        if self._ema_cfg is not None and self.ema is None:
+            from ..utils.ema import ModelEMA
+
+            self.ema = ModelEMA(
+                self._state[0], decay=self._ema_cfg.get("decay", 0.9999)
+            )
 
     def _sync_state_to_model(self):
         if self._train_step is not None:
@@ -203,6 +216,8 @@ class Runner:
                 self._state, images, targets, self._root_key,
                 jax.numpy.int32(self.iter),
             )
+            if self.ema is not None:
+                self.ema.update(self._state[0])
             self.iter += 1
             n_img += images.shape[0]
             if check_interval(self.iter, self.log_interval) and self.logger:
@@ -234,6 +249,9 @@ class Runner:
         import jax
 
         self._sync_state_to_model()
+        if self.ema is not None:
+            # evaluate the EMA weights (reference ModelEMAWraper.execute)
+            self.nnx.update(self.model, self.ema.ema)
         if self._predict_fn is None:
             self._build_predict()
         _, state = self.nnx.split(self.model)
