@@ -27,6 +27,18 @@ from ..utils.registry import DATASETS, TRANSFORMS, build_from_cfg
 from .transforms import Compose, rbox_to_poly_np
 
 
+_WORKER_DS = None
+
+
+def _pool_init(pickled_ds):
+    global _WORKER_DS
+    _WORKER_DS = pickle.loads(pickled_ds)
+
+
+def _pool_load(args):
+    return _WORKER_DS._load_batch(args)
+
+
 def _imread(path):
     import cv2
 
@@ -53,7 +65,9 @@ class CustomDataset:
         image_size=(1024, 1024),
         classes=None,
         drop_last=True,
+        shard_by_process=False,
     ):
+        self.shard_by_process = shard_by_process
         self.images_dir = images_dir
         self.batch_size = batch_size
         self.num_workers = num_workers
@@ -163,31 +177,86 @@ class CustomDataset:
         return batch, metas
 
     # ------------------------------------------------------------------
-    def batches(self, epoch=0, seed=0):
-        """Generator of collated batches with a background prefetch thread."""
+    def _plan_batches(self, epoch, seed):
+        """Shuffled per-epoch index batches, sharded across SPMD hosts
+        (reference worker/`drop_last=jt.in_mpi` semantics,
+        data/custom.py:34-35 + runner.py:44)."""
         order = np.arange(len(self))
         rng = np.random.default_rng(seed + epoch)
         if self.shuffle:
             rng.shuffle(order)
+        if self.shard_by_process:
+            import jax
+
+            order = order[jax.process_index()::max(jax.process_count(), 1)]
         n = len(order)
         if self.drop_last:
             n = (n // self.batch_size) * self.batch_size
-        idx_batches = [
-            order[i : i + self.batch_size] for i in range(0, n, self.batch_size)
+        return [
+            order[i : i + self.batch_size]
+            for i in range(0, n, self.batch_size)
         ]
+
+    def _load_batch(self, args):
+        """Decode + transform + collate one batch (runs in a worker)."""
+        batch_idx, epoch, seed = args
+        samples = [
+            self.load_sample(
+                int(i), np.random.default_rng((seed * 100003 + epoch) * 1000003 + int(i))
+            )
+            for i in batch_idx
+        ]
+        return self.collate(samples)
+
+    def __getstate__(self):
+        d = dict(self.__dict__)
+        d["_pool"] = None  # never pickle a live pool into workers
+        return d
+
+    def _get_pool(self):
+        """Cached spawn-context pool. Spawn (not fork): the parent has a
+        live XLA client with internal threads by the time training starts,
+        and forking that deadlocks; spawned workers re-import clean and
+        receive the dataset once via initializer."""
+        if getattr(self, "_pool", None) is None:
+            import multiprocessing as mp
+
+            ctx = mp.get_context("spawn")
+            self._pool = ctx.Pool(
+                self.num_workers,
+                initializer=_pool_init,
+                initargs=(pickle.dumps(self),),
+            )
+        return self._pool
+
+    def batches(self, epoch=0, seed=0):
+        """Generator of collated batches.
+
+        num_workers <= 1: background prefetch thread (single-core hosts).
+        num_workers > 1: spawn process pool — the TPU-native counterpart
+        of the reference's jittor.dataset worker pool
+        (data/custom.py:34-35); decode/transform/collate run in workers,
+        results stream back in order with pool-level prefetch.
+        """
+        idx_batches = self._plan_batches(epoch, seed)
         if not idx_batches:
             return
+        work = [(b, epoch, seed) for b in idx_batches]
 
-        q = queue.Queue(maxsize=self.num_workers + 1)
+        if self.num_workers and self.num_workers > 1:
+            for item in self._get_pool().imap(_pool_load, work):
+                yield item
+            return
+
+        q = queue.Queue(maxsize=2)
         stop = threading.Event()
 
         def worker():
             try:
-                for batch_idx in idx_batches:
+                for w in work:
                     if stop.is_set():
                         return
-                    samples = [self.load_sample(int(i), rng) for i in batch_idx]
-                    q.put(self.collate(samples))
+                    q.put(self._load_batch(w))
             except BaseException as e:  # surfaced on the consumer side
                 q.put(e)
             finally:

@@ -1,0 +1,84 @@
+"""Input pipeline: multi-worker process pool determinism + host sharding
+(reference jittor.dataset worker pool, data/custom.py:34-35)."""
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from jdet_tpu.data.dota import DOTADataset
+
+
+@pytest.fixture(scope="module")
+def tiny_ds_root(tmp_path_factory):
+    import cv2
+
+    root = str(tmp_path_factory.mktemp("loader"))
+    img_dir = os.path.join(root, "images")
+    os.makedirs(img_dir)
+    rng = np.random.RandomState(0)
+    infos = []
+    for i in range(7):
+        img = (rng.rand(64, 64, 3) * 255).astype(np.uint8)
+        name = f"i{i}.png"
+        cv2.imwrite(os.path.join(img_dir, name), img)
+        rb = np.asarray([[32, 32, 20, 10, 0.3]], np.float32)
+        infos.append({"filename": name, "width": 64, "height": 64,
+                      "ann": {"bboxes": rb,
+                              "labels": np.asarray([1 + i % 3], np.int32),
+                              "bboxes_ignore": np.zeros((0, 5), np.float32)}})
+    ann = os.path.join(root, "labels.pkl")
+    with open(ann, "wb") as f:
+        pickle.dump(infos, f)
+    return img_dir, ann
+
+
+def _make(img_dir, ann, **kw):
+    return DOTADataset(
+        version="1", annotations_file=ann, images_dir=img_dir,
+        transforms=[
+            dict(type="RotatedResize", min_size=64, max_size=64),
+            dict(type="RotatedRandomFlip", prob=0.5),
+            dict(type="Normalize", mean=[0, 0, 0], std=[255, 255, 255],
+                 to_bgr=False),
+        ],
+        image_size=(64, 64), max_gt=4, batch_size=2, shuffle=True, **kw,
+    )
+
+
+def test_pool_matches_thread_loader(tiny_ds_root):
+    img_dir, ann = tiny_ds_root
+    ds1 = _make(img_dir, ann, num_workers=1)
+    ds3 = _make(img_dir, ann, num_workers=3)
+    b1 = [b for b, _ in ds1.batches(epoch=2, seed=5)]
+    b3 = [b for b, _ in ds3.batches(epoch=2, seed=5)]
+    assert len(b1) == len(b3) == 3
+    for x, y in zip(b1, b3):
+        np.testing.assert_array_equal(x["images"], y["images"])
+        np.testing.assert_array_equal(
+            x["targets"]["gt_bboxes"], y["targets"]["gt_bboxes"]
+        )
+        np.testing.assert_array_equal(
+            x["targets"]["gt_labels"], y["targets"]["gt_labels"]
+        )
+
+
+def test_epochs_differ_and_are_reproducible(tiny_ds_root):
+    img_dir, ann = tiny_ds_root
+    ds = _make(img_dir, ann, num_workers=1)
+    e0a = [b for b, _ in ds.batches(epoch=0, seed=5)]
+    e0b = [b for b, _ in ds.batches(epoch=0, seed=5)]
+    e1 = [b for b, _ in ds.batches(epoch=1, seed=5)]
+    np.testing.assert_array_equal(e0a[0]["images"], e0b[0]["images"])
+    assert not np.array_equal(e0a[0]["images"], e1[0]["images"])
+
+
+def test_shard_by_process_partitions(tiny_ds_root):
+    img_dir, ann = tiny_ds_root
+    ds = _make(img_dir, ann, num_workers=1, shard_by_process=True,
+               drop_last=False)
+    # single-process jax: sharding must be the identity
+    plain = _make(img_dir, ann, num_workers=1, drop_last=False)
+    a = ds._plan_batches(0, 5)
+    b = plain._plan_batches(0, 5)
+    assert [list(x) for x in a] == [list(x) for x in b]
