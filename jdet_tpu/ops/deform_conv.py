@@ -58,6 +58,30 @@ def bilinear_sample_nhwc(x, sy, sx):
     )
 
 
+def _corner_table(x):
+    """Pack the 2x2 bilinear corner neighborhood into channels.
+
+    Returns xq (B, H+1, W+1, 4C) over the 1-padded grid: row (yq, xq)
+    holds [x[y, x], x[y, x+1], x[y+1, x], x[y+1, x+1]] for the unpadded
+    base corner (y, x) = (yq - 1, xq - 1); out-of-image corners are zero.
+
+    One gathered row then yields all 4 bilinear corners of a sample —
+    4x fewer gather rows than per-corner gathers, and TPU gather cost is
+    per-row dominated (each row is a contiguous 4C-channel DMA).
+    """
+    B, H, W, C = x.shape
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    return jnp.concatenate(
+        [
+            xp[:, : H + 1, : W + 1],
+            xp[:, : H + 1, 1:],
+            xp[:, 1:, : W + 1],
+            xp[:, 1:, 1:],
+        ],
+        axis=-1,
+    )
+
+
 def deform_conv2d(
     x,
     offsets,
@@ -75,6 +99,14 @@ def deform_conv2d(
       offsets: (B, Ho, Wo, K*K, 2) (dy, dx) per output pixel per tap.
       weight: (kh, kw, C, Cout) HWIO.
       mask: optional (B, Ho, Wo, K*K) modulation (DCNv2, ops/dcn_v2.py).
+
+    Implementation: corner-packed gather. The 4 bilinear corners of every
+    sample live in one row of the corner table (see _corner_table), so the
+    im2col step is ONE row gather per (pixel, tap) instead of four, and
+    border handling folds into the 4 interpolation weights (no wide
+    `where` on (.., K*K, C) tensors). Autodiff of the gather produces the
+    reference's atomic-add col2im backward (dcn_v1.py:341-376) as a
+    row scatter-add on the corner table.
     """
     B, H, W, C = x.shape
     kh, kw, _, cout = weight.shape
@@ -95,13 +127,35 @@ def deform_conv2d(
     base_y = jnp.broadcast_to(base_y, (Ho, Wo, kh, kw)).reshape(Ho, Wo, kh * kw)
     base_x = jnp.broadcast_to(base_x, (Ho, Wo, kh, kw)).reshape(Ho, Wo, kh * kw)
 
-    sy = base_y[None] + offsets[..., 0]
+    sy = base_y[None] + offsets[..., 0]  # (B, Ho, Wo, kk)
     sx = base_x[None] + offsets[..., 1]
 
-    sampled = bilinear_sample_nhwc(x, sy, sx)  # (B, Ho, Wo, K*K, C)
+    y0 = jnp.floor(sy)
+    x0 = jnp.floor(sx)
+    wy = (sy - y0).astype(x.dtype)
+    wx = (sx - x0).astype(x.dtype)
+    # a sample contributes iff its 2x2 neighborhood meets the image
+    valid = ((sy > -1) & (sy < H) & (sx > -1) & (sx < W)).astype(x.dtype)
+    # corner weights, border mask folded in (the table zero-pads the rest)
+    w00 = (1 - wy) * (1 - wx) * valid
+    w01 = (1 - wy) * wx * valid
+    w10 = wy * (1 - wx) * valid
+    w11 = wy * wx * valid
+    cw = jnp.stack([w00, w01, w10, w11], -1)  # (B, Ho, Wo, kk, 4)
     if mask is not None:
-        sampled = sampled * mask[..., None]
-    cols = sampled.reshape(B, Ho, Wo, kh * kw * C)
+        cw = cw * mask[..., None].astype(cw.dtype)
+
+    Wq = W + 1
+    yq = jnp.clip(y0.astype(jnp.int32) + 1, 0, H)
+    xq = jnp.clip(x0.astype(jnp.int32) + 1, 0, W)
+    idx = (yq * Wq + xq).reshape(B, -1)  # (B, Ho*Wo*kk)
+
+    xqt = _corner_table(x).reshape(B, (H + 1) * Wq, 4 * C)
+    g = jnp.take_along_axis(xqt, idx[..., None], axis=1)
+    g = g.reshape(B, Ho, Wo, kh * kw, 4, C)
+    cols = jnp.einsum("bhwkcf,bhwkc->bhwkf", g, cw).reshape(
+        B, Ho, Wo, kh * kw * C
+    )
     w2 = weight.reshape(kh * kw * C, cout).astype(cols.dtype)
     out = jax.lax.dot_general(
         cols,
