@@ -19,7 +19,8 @@ from jdet_tpu.models.builder import build_detector
 
 FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures",
                        "golden_losses.json")
-N_STEPS = 3
+N_STEPS = 11  # reference protocol: 11 pinned iterations
+# (docs/add_model_tests.md, projects/s2anet/test_s2anet.py:19-74)
 RTOL = 0.05
 
 _FPN = dict(type="FPN", out_channels=32, num_outs=5, start_level=1,
@@ -55,6 +56,111 @@ MODELS = {
                        train_cfg=dict(sampler=dict(num=32, pos_fraction=0.25)),
                        test_cfg=dict(max_per_img=8)),
     ),
+    "gwd": dict(
+        type="RotatedRetinaNet", backbone=_R18, neck=_FPN,
+        bbox_head=dict(type="GWDRetinaHead", **_SMALL),
+    ),
+    "kld": dict(
+        type="RotatedRetinaNet", backbone=_R18, neck=_FPN,
+        bbox_head=dict(type="KLDRetinaHead", **_SMALL),
+    ),
+    "kfiou": dict(
+        type="RotatedRetinaNet", backbone=_R18, neck=_FPN,
+        bbox_head=dict(type="KFIoURRetinaHead", **_SMALL),
+    ),
+    "csl": dict(
+        type="RotatedRetinaNet", backbone=_R18, neck=_FPN,
+        bbox_head=dict(type="CSLRRetinaHead", **_SMALL),
+    ),
+    "atss": dict(
+        type="RotatedRetinaNet", backbone=_R18, neck=_FPN,
+        bbox_head=dict(type="RotatedATSSHead", octave_base_scale=4,
+                       scales_per_octave=1, **_SMALL),
+    ),
+    "rsdet": dict(
+        type="RotatedRetinaNet", backbone=_R18, neck=_FPN,
+        bbox_head=dict(type="RSDetHead", **_SMALL),
+    ),
+    "ridet": dict(
+        type="RotatedRetinaNet", backbone=_R18, neck=_FPN,
+        bbox_head=dict(type="RotatedRetinaHead",
+                       loss_bbox=dict(type="ridet", loss_weight=2.0),
+                       **_SMALL),
+    ),
+    "ld": dict(
+        type="KnowledgeDistillationSingleStageDetector", backbone=_R18,
+        neck=_FPN,
+        bbox_head=dict(type="LDRotatedRetinaHead", reg_max=8, **_SMALL),
+        teacher=dict(
+            type="RotatedRetinaNet", backbone=_R18, neck=_FPN,
+            bbox_head=dict(type="RotatedRetinaDistributionHead", reg_max=8,
+                           **_SMALL),
+        ),
+    ),
+    "reppoints": dict(
+        type="RotatedRepPoints", backbone=_R18, neck=_FPN,
+        bbox_head=dict(type="RotatedRepPointsHead", num_classes=15,
+                       in_channels=32, feat_channels=32, point_feat_channels=32,
+                       test_cfg=dict(nms_pre=64, max_per_img=8)),
+    ),
+    "h2rbox": dict(
+        type="H2RBox", backbone=_R18,
+        neck=dict(type="FPN", out_channels=32, num_outs=5, start_level=1,
+                  add_extra_convs="on_output", relu_before_extra_convs=True),
+        bbox_head=dict(type="H2RBoxHead", num_classes=15, in_channels=32,
+                       feat_channels=32, stacked_convs=1,
+                       rotation_agnostic_classes=[1],
+                       test_cfg=dict(nms_pre=64, max_per_img=8)),
+    ),
+    "gliding": dict(
+        type="GlidingVertex", backbone=_R18, neck=dict(type="FPN",
+            out_channels=32, num_outs=5),
+        rpn_head=dict(type="GlidingRPNHead", in_channels=32, feat_channels=32,
+                      nms_pre=64, nms_post=32),
+        bbox_head=dict(type="GlidingHead", num_classes=15, in_channels=32,
+                       fc_out_channels=64,
+                       test_cfg=dict(max_per_img=8)),
+    ),
+    "faster_rcnn_obb": dict(
+        type="FasterRCNNOBB", backbone=_R18, neck=dict(type="FPN",
+            out_channels=32, num_outs=5),
+        rpn_head=dict(type="RPNHead", in_channels=32, feat_channels=32,
+                      nms_pre=64, nms_post=32),
+        bbox_head=dict(type="FasterrcnnHead", num_classes=15, in_channels=32,
+                       fc_out_channels=64,
+                       test_cfg=dict(max_per_img=8)),
+    ),
+    "roi_transformer": dict(
+        type="RoITransformer", backbone=_R18, neck=dict(type="FPN",
+            out_channels=32, num_outs=5),
+        rpn_head=dict(type="RPNHead", in_channels=32, feat_channels=32,
+                      nms_pre=64, nms_post=32),
+        bbox_head=dict(type="RoITransHead", num_classes=15, in_channels=32,
+                       fc_out_channels=64,
+                       test_cfg=dict(max_per_img=8)),
+    ),
+    "redet": dict(
+        type="ReDet",
+        backbone=dict(type="ReResNet", depth=18, base_fields=4),
+        neck=dict(type="ReFPN", out_channels=32, num_outs=5),
+        rpn_head=dict(type="RPNHead", in_channels=32, feat_channels=32,
+                      nms_pre=64, nms_post=32),
+        bbox_head=dict(type="ReDetHead", num_classes=15, in_channels=32,
+                       fc_out_channels=64,
+                       test_cfg=dict(max_per_img=8)),
+    ),
+    "ssd": dict(
+        type="SSD",
+        backbone=dict(type="SSDVGG"),
+        neck=dict(type="SSDNeck"),
+        bbox_head=dict(type="SSDHead", num_classes=15,
+                       test_cfg=dict(nms_pre=64, max_per_img=8)),
+    ),
+    "r3det": dict(
+        type="R3Det", backbone=_R18, neck=_FPN,
+        bbox_head=dict(type="R3DetHead", **_SMALL),
+    ),
+    "yolo": dict(type="YOLO", nc=15, imgsz=128),
 }
 
 
