@@ -26,36 +26,35 @@ def bilinear_sample_nhwc(x, sy, sx):
 
     Returns (B, ..., C); zero outside [0, H-1] x [0, W-1] (matching the
     reference's deformable_im2col border handling).
+
+    Corner-packed: the 2x2 neighborhood of every sample is fetched as ONE
+    row of the corner table (`corner_weights_and_rows`) — 4x fewer gather
+    rows than per-corner gathers, which is what TPU gather cost tracks.
     """
     B, H, W, C = x.shape
+    cw, idx = corner_weights_and_rows(sy, sx, H, W, x.dtype)
+    xqt = _corner_table(x).reshape(B, (H + 1) * (W + 1), 4 * C)
+    g = jnp.take_along_axis(xqt, idx.reshape(B, -1)[..., None], axis=1)
+    g = g.reshape(*idx.shape, 4, C)
+    return jnp.einsum("...cf,...c->...f", g, cw)
+
+
+def corner_weights_and_rows(sy, sx, H, W, dtype):
+    """Bilinear corner weights (..., 4) with border masks folded in, and
+    the corner-table row index (...,) for samples sy/sx."""
     y0 = jnp.floor(sy)
     x0 = jnp.floor(sx)
-    wy = sy - y0
-    wx = sx - x0
-
-    def gather(yi, xi):
-        inb = (yi >= 0) & (yi <= H - 1) & (xi >= 0) & (xi <= W - 1)
-        yc = jnp.clip(yi, 0, H - 1).astype(jnp.int32)
-        xc = jnp.clip(xi, 0, W - 1).astype(jnp.int32)
-        flat = x.reshape(B, H * W, C)
-        idx = yc * W + xc
-        g = jnp.take_along_axis(
-            flat, idx.reshape(B, -1, 1), axis=1
-        ).reshape(*idx.shape, C)
-        return jnp.where(inb[..., None], g, 0.0)
-
-    v00 = gather(y0, x0)
-    v01 = gather(y0, x0 + 1)
-    v10 = gather(y0 + 1, x0)
-    v11 = gather(y0 + 1, x0 + 1)
-    wy = wy[..., None]
-    wx = wx[..., None]
-    return (
-        v00 * (1 - wy) * (1 - wx)
-        + v01 * (1 - wy) * wx
-        + v10 * wy * (1 - wx)
-        + v11 * wy * wx
-    )
+    wy = (sy - y0).astype(dtype)
+    wx = (sx - x0).astype(dtype)
+    valid = ((sy > -1) & (sy < H) & (sx > -1) & (sx < W)).astype(dtype)
+    w00 = (1 - wy) * (1 - wx) * valid
+    w01 = (1 - wy) * wx * valid
+    w10 = wy * (1 - wx) * valid
+    w11 = wy * wx * valid
+    cw = jnp.stack([w00, w01, w10, w11], -1)
+    yq = jnp.clip(y0.astype(jnp.int32) + 1, 0, H)
+    xq = jnp.clip(x0.astype(jnp.int32) + 1, 0, W)
+    return cw, yq * (W + 1) + xq
 
 
 def _corner_table(x):
@@ -130,28 +129,13 @@ def deform_conv2d(
     sy = base_y[None] + offsets[..., 0]  # (B, Ho, Wo, kk)
     sx = base_x[None] + offsets[..., 1]
 
-    y0 = jnp.floor(sy)
-    x0 = jnp.floor(sx)
-    wy = (sy - y0).astype(x.dtype)
-    wx = (sx - x0).astype(x.dtype)
-    # a sample contributes iff its 2x2 neighborhood meets the image
-    valid = ((sy > -1) & (sy < H) & (sx > -1) & (sx < W)).astype(x.dtype)
-    # corner weights, border mask folded in (the table zero-pads the rest)
-    w00 = (1 - wy) * (1 - wx) * valid
-    w01 = (1 - wy) * wx * valid
-    w10 = wy * (1 - wx) * valid
-    w11 = wy * wx * valid
-    cw = jnp.stack([w00, w01, w10, w11], -1)  # (B, Ho, Wo, kk, 4)
+    cw, idx = corner_weights_and_rows(sy, sx, H, W, x.dtype)
+    # cw (B, Ho, Wo, kk, 4); idx (B, Ho, Wo, kk)
     if mask is not None:
         cw = cw * mask[..., None].astype(cw.dtype)
 
-    Wq = W + 1
-    yq = jnp.clip(y0.astype(jnp.int32) + 1, 0, H)
-    xq = jnp.clip(x0.astype(jnp.int32) + 1, 0, W)
-    idx = (yq * Wq + xq).reshape(B, -1)  # (B, Ho*Wo*kk)
-
-    xqt = _corner_table(x).reshape(B, (H + 1) * Wq, 4 * C)
-    g = jnp.take_along_axis(xqt, idx[..., None], axis=1)
+    xqt = _corner_table(x).reshape(B, (H + 1) * (W + 1), 4 * C)
+    g = jnp.take_along_axis(xqt, idx.reshape(B, -1)[..., None], axis=1)
     g = g.reshape(B, Ho, Wo, kh * kw, 4, C)
     cols = jnp.einsum("bhwkcf,bhwkc->bhwkf", g, cw).reshape(
         B, Ho, Wo, kh * kw * C
