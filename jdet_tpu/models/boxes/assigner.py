@@ -152,7 +152,11 @@ def max_iou_assign_rotated(
 
     anchors (n, 5) rboxes; gt_bboxes (k, 5) padded; gt_mask (k,) bool.
     """
-    overlaps = box_iou_rotated(gt_bboxes, anchors, chunk=iou_chunk)
+    from ...ops.pallas_iou import park_masked_boxes
+
+    overlaps = box_iou_rotated(
+        park_masked_boxes(gt_bboxes, gt_mask), anchors, chunk=iou_chunk
+    )
     ignore_mask = None
     if (
         ignore_iof_thr > 0
@@ -239,7 +243,11 @@ def atss_assign_rotated(
 
     n = anchors.shape[0]
     k = gt_bboxes.shape[0]
-    ious = box_iou_rotated(gt_bboxes, anchors, chunk=iou_chunk)  # (k, n)
+    from ...ops.pallas_iou import park_masked_boxes
+
+    ious = box_iou_rotated(
+        park_masked_boxes(gt_bboxes, gt_mask), anchors, chunk=iou_chunk
+    )  # (k, n)
     ious = jnp.where(gt_mask[:, None], ious, 0.0)
     if anchor_mask is not None:
         ious = jnp.where(anchor_mask[None, :], ious, 0.0)

@@ -33,7 +33,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 _PAR_EPS = 1e-12
 BLOCK_N = 1024
-BLOCK_K = 32
+BLOCK_K = 8
+# center beyond which a box is treated as "parked" padding (see
+# pad_boxes_far); blocks of parked gts fail the separation pre-test and
+# skip the clip math entirely.
+FAR_CENTER = -1e6
 
 
 def _green_sum(px, py, qx, qy):
@@ -144,57 +148,72 @@ def _rect_clip_green(px, py, w2, h2, tol_xy):
 def _iou_kernel_rect(gt_ref, an_ref, out_ref):
     """Rect-frame slab kernel. gt rows / an rows (planar, see
     _planar_rows_rect): [relx0..3, rely0..3, cx, cy, w/2, h/2, cos, sin,
-    area, 0]."""
+    area, 0].
+
+    A block-level separation pre-test (sum-of-L1-radii circle bound) skips
+    the whole clip chain when no (gt, anchor) pair in the block can
+    overlap — which is most blocks: anchors are spatially ordered, gts are
+    small, and padded gts are parked at FAR_CENTER (pad_boxes_far)."""
     gt = gt_ref[:]  # (BK, 16)
     an = an_ref[:]  # (16, BN)
-    gx = [gt[:, c:c + 1] for c in range(4)]
-    gy = [gt[:, 4 + c:5 + c] for c in range(4)]
     gcx, gcy = gt[:, 8:9], gt[:, 9:10]
     gw2, gh2 = gt[:, 10:11], gt[:, 11:12]
-    gcos, gsin = gt[:, 12:13], gt[:, 13:14]
-    g_area = gt[:, 14:15]
-    ax = [an[c:c + 1, :] for c in range(4)]
-    ay = [an[4 + c:5 + c, :] for c in range(4)]
     acx, acy = an[8:9, :], an[9:10, :]
     aw2, ah2 = an[10:11, :], an[11:12, :]
-    acos, asin = an[12:13, :], an[13:14, :]
-    a_area = an[14:15, :]
 
     dx_c = acx - gcx  # (BK, BN)
     dy_c = acy - gcy
+    # w2 + h2 >= half-diagonal, so rsum bounds the max overlap distance
+    rsum = (gw2 + gh2) + (aw2 + ah2)
+    touching = dx_c * dx_c + dy_c * dy_c < rsum * rsum
 
-    # anchor corners in the gt frame: R(-tg) @ (a_rel + d)
-    pax, pay = [], []
-    for c in range(4):
-        wx = ax[c] + dx_c
-        wy = ay[c] + dy_c
-        pax.append(gcos * wx + gsin * wy)
-        pay.append(gcos * wy - gsin * wx)
-    # gt corners in the anchor frame: R(-ta) @ (g_rel - d)
-    pgx, pgy = [], []
-    for c in range(4):
-        wx = gx[c] - dx_c
-        wy = gy[c] - dy_c
-        pgx.append(acos * wx + asin * wy)
-        pgy.append(acos * wy - asin * wx)
+    @pl.when(jnp.logical_not(jnp.any(touching)))
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
 
-    scale = jnp.maximum(gw2 + gh2, aw2 + ah2)
-    tol = 1e-5 * scale + _PAR_EPS
-    s1, d1x_l, d1y_l = _rect_clip_green(pax, pay, gw2, gh2, tol)
-    s2, _, _ = _rect_clip_green(pgx, pgy, aw2, ah2, tol)
-    # origin correction: direction 1 used origin g_c (gt frame), direction
-    # 2 origin a_c; for the closed loop the mismatch contributes
-    # cross(O1 - O2, D1) with D1 = sum(v - u) of direction 1 in WORLD
-    # coordinates (rotate the gt-frame sum back by +theta_g).
-    d1x = gcos * d1x_l - gsin * d1y_l
-    d1y = gsin * d1x_l + gcos * d1y_l
-    corr = dy_c * d1x - dx_c * d1y  # cross(g_c - a_c, D1)
-    s = s1 + s2 + corr
-    inter = jnp.maximum(0.5 * s, 0.0)
-    union = g_area + a_area - inter
-    out_ref[:] = jnp.where(
-        union > 1e-9, inter / jnp.maximum(union, 1e-9), 0.0
-    )
+    @pl.when(jnp.any(touching))
+    def _():
+        gx = [gt[:, c:c + 1] for c in range(4)]
+        gy = [gt[:, 4 + c:5 + c] for c in range(4)]
+        gcos, gsin = gt[:, 12:13], gt[:, 13:14]
+        g_area = gt[:, 14:15]
+        ax = [an[c:c + 1, :] for c in range(4)]
+        ay = [an[4 + c:5 + c, :] for c in range(4)]
+        acos, asin = an[12:13, :], an[13:14, :]
+        a_area = an[14:15, :]
+
+        # anchor corners in the gt frame: R(-tg) @ (a_rel + d)
+        pax, pay = [], []
+        for c in range(4):
+            wx = ax[c] + dx_c
+            wy = ay[c] + dy_c
+            pax.append(gcos * wx + gsin * wy)
+            pay.append(gcos * wy - gsin * wx)
+        # gt corners in the anchor frame: R(-ta) @ (g_rel - d)
+        pgx, pgy = [], []
+        for c in range(4):
+            wx = gx[c] - dx_c
+            wy = gy[c] - dy_c
+            pgx.append(acos * wx + asin * wy)
+            pgy.append(acos * wy - asin * wx)
+
+        scale = jnp.maximum(gw2 + gh2, aw2 + ah2)
+        tol = 1e-5 * scale + _PAR_EPS
+        s1, d1x_l, d1y_l = _rect_clip_green(pax, pay, gw2, gh2, tol)
+        s2, _, _ = _rect_clip_green(pgx, pgy, aw2, ah2, tol)
+        # origin correction: direction 1 used origin g_c (gt frame),
+        # direction 2 origin a_c; for the closed loop the mismatch
+        # contributes cross(O1 - O2, D1) with D1 = sum(v - u) of direction
+        # 1 in WORLD coordinates (rotate the gt-frame sum back by +tg).
+        d1x = gcos * d1x_l - gsin * d1y_l
+        d1y = gsin * d1x_l + gcos * d1y_l
+        corr = dy_c * d1x - dx_c * d1y  # cross(g_c - a_c, D1)
+        s = s1 + s2 + corr
+        inter = jnp.maximum(0.5 * s, 0.0)
+        union = g_area + a_area - inter
+        out_ref[:] = jnp.where(
+            touching & (union > 1e-9), inter / jnp.maximum(union, 1e-9), 0.0
+        )
 
 
 def _iou_kernel(gt_ref, an_ref, out_ref):
@@ -268,6 +287,16 @@ def _planar_rows_rect(boxes):
     return jnp.stack(rows, axis=-2)
 
 
+def park_masked_boxes(boxes, mask):
+    """Move masked (padding) rboxes to FAR_CENTER with zero size.
+
+    Their pairwise IoU is 0 either way; parked far away they also fail
+    the kernel's block separation pre-test, so all-padding gt blocks cost
+    one vector compare instead of the full clip chain."""
+    far = jnp.asarray([FAR_CENTER, FAR_CENTER, 0.0, 0.0, 0.0], boxes.dtype)
+    return jnp.where(mask[..., None], boxes, far)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret", "kernel"))
 def _pallas_iou_2d(gt_pl, an_pl, interpret=False, kernel="rect"):
     """gt_pl (Kp, 16); an_pl (16, Np) -> (Kp, Np) f32."""
@@ -309,9 +338,17 @@ def box_iou_rotated_pallas(gts, anchors, interpret=False, kernel="rect"):
     pad_k = (-K) % BLOCK_K
     pad_n = (-N) % BLOCK_N
     planar = _planar_rows if kernel == "generic" else _planar_rows_rect
-    gt_pl = planar(
-        jnp.pad(gts.astype(jnp.float32), ((0, pad_k), (0, 0)))
-    ).T  # (Kp, 16)
+    gts_p = jnp.pad(gts.astype(jnp.float32), ((0, pad_k), (0, 0)))
+    if pad_k:
+        # park pad rows far away so all-pad gt blocks skip via the
+        # separation pre-test instead of clipping degenerate boxes
+        row = jnp.arange(K + pad_k) >= K
+        gts_p = jnp.where(
+            row[:, None],
+            jnp.asarray([FAR_CENTER, FAR_CENTER, 0.0, 0.0, 0.0]),
+            gts_p,
+        )
+    gt_pl = planar(gts_p).T  # (Kp, 16)
     an_pl = planar(
         jnp.pad(anchors.astype(jnp.float32), ((0, pad_n), (0, 0)))
     )  # (16, Np)
