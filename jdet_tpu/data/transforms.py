@@ -499,15 +499,19 @@ class Normalize(_Base):
     def __init__(self, mean, std, to_bgr=True):
         self.mean = np.asarray(mean, np.float32)
         self.std = np.asarray(std, np.float32)
+        self._inv_std = (1.0 / self.std).astype(np.float32)
         self.to_bgr = to_bgr
 
     def __call__(self, image, target=None, rng=None):
+        # in-place passes: this runs per-sample on the host loader and was
+        # the pipeline hotspot as 4 allocating full-image passes
         image = image.astype(np.float32)
         if self.to_bgr:
-            image = image[..., ::-1]
-        image = (image - self.mean) / self.std
+            image = np.ascontiguousarray(image[..., ::-1])
+        np.subtract(image, self.mean, out=image)
+        np.multiply(image, self._inv_std, out=image)
         if target is not None:
             target["img_norm_cfg"] = dict(
                 mean=self.mean.tolist(), std=self.std.tolist(), to_bgr=self.to_bgr
             )
-        return np.ascontiguousarray(image), target
+        return image, target
