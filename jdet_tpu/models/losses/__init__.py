@@ -20,3 +20,45 @@ from .misc_losses import (
     kld_symmax_loss,
     kld_symmin_loss,
 )
+
+# ---------------------------------------------------------------------------
+# LOSSES registry parity (reference SURVEY §2.6: 13 LOSSES-registered rows,
+# python/jdet/models/losses/*). Our losses are pure jax functions (the
+# TPU-first design: heads close over configured partials instead of holding
+# stateful loss Modules), so the registry maps the reference class names to
+# configured partials — `build_from_cfg(dict(type="FocalLoss", ...), LOSSES)`
+# returns a callable with the reference's call signature.
+# ---------------------------------------------------------------------------
+from functools import partial as _partial
+
+from ...utils.registry import LOSSES as _LOSSES
+from ...ops.convex import convex_giou_loss as _convex_giou_loss
+
+
+def _register_fn(name, fn):
+    _LOSSES.register_module(name=name)(
+        lambda **cfg: _partial(fn, **cfg) if cfg else fn
+    )
+
+
+for _name, _fn in {
+    "FocalLoss": sigmoid_focal_loss,
+    "SmoothL1Loss": smooth_l1_loss,
+    "L1Loss": l1_loss,
+    "CrossEntropyLoss": cross_entropy_loss,
+    "CrossEntropyLossForRcnn": cross_entropy_loss,
+    "BCEWithLogitsLoss": binary_cross_entropy_loss,
+    "SmoothFocalLoss": smooth_focal_loss,
+    "GDLoss": gaussian_dist_loss,
+    "GDLoss_v1": gaussian_dist_loss,
+    "KFLoss": kf_iou_loss,
+    "IoULoss": rotated_iou_loss,
+    "PolyIoULoss": poly_iou_loss,
+    "PolyGIoULoss": poly_giou_loss,
+    "ConvexGIoULoss": _convex_giou_loss,
+    "KnowledgeDistillationKLDivLoss": knowledge_distillation_kl_div_loss,
+    "IMLoss": im_loss,
+    "RSDetLoss": rsdet_loss,
+    "RIDetLoss": ridet_loss,
+}.items():
+    _register_fn(_name, _fn)

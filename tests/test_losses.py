@@ -286,3 +286,28 @@ def test_ridet_loss_representation_invariant():
     assert moved > float(ridet_loss(jnp.asarray(p), jnp.asarray(p)))
     g = jax.grad(lambda x: ridet_loss(x, jnp.asarray(t)))(jnp.asarray(p))
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_losses_registry_parity():
+    """Reference SURVEY §2.6: losses are LOSSES-registered and buildable
+    via build_from_cfg (reference utils/registry.py builder semantics)."""
+    import jax.numpy as jnp
+
+    from jdet_tpu.utils.registry import LOSSES, build_from_cfg
+
+    expected = {
+        "FocalLoss", "SmoothL1Loss", "L1Loss", "CrossEntropyLoss",
+        "SmoothFocalLoss", "GDLoss", "GDLoss_v1", "KFLoss", "IoULoss",
+        "PolyIoULoss", "PolyGIoULoss", "ConvexGIoULoss",
+        "KnowledgeDistillationKLDivLoss", "IMLoss", "RSDetLoss",
+        "RIDetLoss",
+    }
+    missing = expected - set(LOSSES._modules)
+    assert not missing, missing
+
+    f = build_from_cfg(dict(type="SmoothL1Loss", beta=0.2), LOSSES)
+    assert abs(float(f(jnp.ones(4), jnp.zeros(4))) - 0.9) < 1e-5
+    g = build_from_cfg(dict(type="GDLoss", loss_type="kld"), LOSSES)
+    v = float(g(jnp.asarray([[5.0, 5.0, 4.0, 2.0, 0.1]]),
+                jnp.asarray([[5.0, 5.0, 4.0, 2.0, 0.0]])))
+    assert 0 < v < 1
