@@ -66,8 +66,10 @@ class CustomDataset:
         classes=None,
         drop_last=True,
         shard_by_process=False,
+        image_dtype="float32",
     ):
         self.shard_by_process = shard_by_process
+        self.image_dtype = image_dtype
         self.images_dir = images_dir
         self.batch_size = batch_size
         self.num_workers = num_workers
@@ -137,10 +139,21 @@ class CustomDataset:
 
     # ------------------------------------------------------------------
     def collate(self, samples):
-        """Fixed-shape batch: images to the static canvas, gts to max_gt."""
+        """Fixed-shape batch: images to the static canvas, gts to max_gt.
+
+        With `image_dtype="uint8"` (config: drop the Normalize transform
+        and set `device_normalize` on the Runner) the batch ships raw
+        uint8 pixels — 4x less host->device transfer; the train/predict
+        step normalizes on device where the subtract/scale is free fused
+        work. The reference normalizes in loader workers
+        (data/transforms.py Normalize); device-side is the TPU-native
+        equivalent.
+        """
         B = len(samples)
         W, H = self.image_size
-        images = np.zeros((B, H, W, 3), np.float32)
+        img_dt = np.uint8 if getattr(self, "image_dtype", None) == "uint8" \
+            else np.float32
+        images = np.zeros((B, H, W, 3), img_dt)
         gt_bboxes = np.zeros((B, self.max_gt, 5), np.float32)
         gt_labels = np.zeros((B, self.max_gt), np.int32)
         gt_mask = np.zeros((B, self.max_gt), bool)

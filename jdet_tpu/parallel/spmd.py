@@ -69,7 +69,27 @@ def is_main_process():
     return jax.process_index() == 0
 
 
-def build_train_step(model, optimizer, mesh, with_key=True):
+def make_device_normalizer(mean, std, to_bgr=False):
+    """Device-side image normalization: ship uint8 batches (4x less
+    host->device transfer than f32) and do (x - mean) / std on device,
+    where it fuses into the first conv's input pipeline. Pair with the
+    dataset's `image_dtype="uint8"` and drop the host Normalize
+    transform (reference normalizes in loader workers,
+    data/transforms.py:468)."""
+    mean = jnp.asarray(mean, jnp.float32)
+    inv_std = 1.0 / jnp.asarray(std, jnp.float32)
+
+    def normalize(images):
+        x = images.astype(jnp.float32)
+        if to_bgr:
+            x = x[..., ::-1]
+        return (x - mean) * inv_std
+
+    return normalize
+
+
+def build_train_step(model, optimizer, mesh, with_key=True,
+                     preprocess=None):
     """Build the jit-compiled data-parallel train step.
 
     Sharding layout (reference DP semantics, Jittor-MPI grad all-reduce):
@@ -101,6 +121,8 @@ def build_train_step(model, optimizer, mesh, with_key=True):
     def step(state, images, targets, root_key, it):
         m, opt = nnx.merge(graphdef, state)
         key = jax.random.fold_in(root_key, it)
+        if preprocess is not None:
+            images = preprocess(images)
 
         def loss_fn(m):
             losses = m.loss(images, targets, key=key) if with_key else m.loss(

@@ -141,6 +141,19 @@ class Runner:
 
         self._train_step = None
         self._predict_fn = None
+        # optional device-side normalization: pair with the dataset's
+        # image_dtype="uint8" to ship raw pixels and normalize on device
+        dn = cfg.device_normalize
+        if dn:
+            from ..parallel.spmd import make_device_normalizer
+
+            self._preprocess = make_device_normalizer(
+                dn.get("mean", [0.0, 0.0, 0.0]),
+                dn.get("std", [1.0, 1.0, 1.0]),
+                dn.get("to_bgr", False),
+            )
+        else:
+            self._preprocess = None
         # optional model EMA (reference ModelEMAWraper, networks/yolo.py:57-91)
         ema_cfg = cfg.ema
         self._ema_cfg = (
@@ -156,7 +169,8 @@ class Runner:
 
     def _build_train_step(self):
         graphdef, state, step = build_train_step(
-            self.model, self.optimizer, self.mesh
+            self.model, self.optimizer, self.mesh,
+            preprocess=self._preprocess,
         )
         self._graphdef = graphdef
         self._state = state
@@ -178,9 +192,13 @@ class Runner:
         jax, nnx = self.jax, self.nnx
         graphdef, state = nnx.split(self.model)
 
+        preprocess = self._preprocess
+
         @jax.jit
         def predict(state, images, scale_factor):
             m = nnx.merge(graphdef, state)
+            if preprocess is not None:
+                images = preprocess(images)
             return m.predict(images, {"scale_factor": scale_factor})
 
         self._predict_graphdef = graphdef

@@ -82,3 +82,34 @@ def test_shard_by_process_partitions(tiny_ds_root):
     a = ds._plan_batches(0, 5)
     b = plain._plan_batches(0, 5)
     assert [list(x) for x in a] == [list(x) for x in b]
+
+
+def test_uint8_device_normalize_matches_host_normalize(tiny_ds_root):
+    """image_dtype="uint8" + Runner device_normalize must reproduce the
+    host Normalize pipeline's losses exactly (same math, moved on-device;
+    batches ship 4x smaller)."""
+    import jax.numpy as jnp
+
+    from jdet_tpu.parallel.spmd import make_device_normalizer
+
+    img_dir, ann = tiny_ds_root
+    mean = [123.675, 116.28, 103.53]
+    std = [58.395, 57.12, 57.375]
+    base = dict(
+        version="1", annotations_file=ann, images_dir=img_dir,
+        image_size=(64, 64), max_gt=4, batch_size=2, shuffle=False,
+        num_workers=0,
+    )
+    ds_host = DOTADataset(
+        **base,
+        transforms=[dict(type="Normalize", mean=mean, std=std,
+                         to_bgr=False)],
+    )
+    ds_u8 = DOTADataset(**base, transforms=[], image_dtype="uint8")
+
+    bh, _ = next(ds_host.batches(seed=0))
+    bu, _ = next(ds_u8.batches(seed=0))
+    assert bu["images"].dtype == np.uint8
+    norm = make_device_normalizer(mean, std)
+    on_device = np.asarray(norm(jnp.asarray(bu["images"])))
+    np.testing.assert_allclose(on_device, bh["images"], atol=1e-5)
