@@ -6,19 +6,25 @@ Capability mirror of the reference extractors
 `clamp(floor(log2(sqrt(w*h) / finest_scale)), 0, L-1)` and RoIAligned
 there; rotated variants optionally enlarge w/h by `extend_factor`.
 
-TPU fixed-shape redesign: instead of gathering per-level RoI subsets
-(dynamic), every RoI is aligned on every level and the result combined
-with a one-hot level mask — branch-free, and the (small) extra compute
-lands on gather/VPU units that are idle anyway. This also preserves the
-reference's gradient-keeping trick for empty levels
-(oriented_single_level.py:112) by construction.
+TPU fixed-shape redesign: per-level corner tables are concatenated and
+each RoI's samples gather from ITS level's rows in one flat gather
+(ops/roi_align_rotated.roi_align_rotated_multilevel) — exactly-one-level
+cost with static shapes (the earlier align-on-every-level-and-mask
+design paid 4x the gather volume; it dominated two-stage step time).
+Empty levels need no special-casing (the reference's gradient-keeping
+trick, oriented_single_level.py:112): gradients flow through whichever
+rows were touched.
 """
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
 
-from ...ops.roi_align_rotated import roi_align, roi_align_rotated
+from ...ops.roi_align_rotated import (
+    roi_align,
+    roi_align_rotated,
+    roi_align_rotated_multilevel,
+)
 from ...utils.registry import ROI_EXTRACTORS
 
 
@@ -53,20 +59,13 @@ class SingleRoIExtractor:
         h = rois[..., 3] - rois[..., 1]
         lvl = _map_levels(jnp.sqrt(jnp.maximum(w * h, 1e-6)), num_levels,
                           self.finest_scale)
-        out = 0.0
-        for i in range(num_levels):
-            sel = (lvl == i).astype(feats[i].dtype)
-            if valid is not None:
-                sel = sel * valid.astype(feats[i].dtype)
-            aligned = roi_align(
-                feats[i],
-                rois,
-                self.out_size,
-                1.0 / self.featmap_strides[i],
-                self.sampling_ratio,
-            )
-            out = out + aligned * sel[..., None, None, None]
-        return out
+        cx = (rois[..., 0] + rois[..., 2]) * 0.5
+        cy = (rois[..., 1] + rois[..., 3]) * 0.5
+        rrois = jnp.stack([cx, cy, w, h, jnp.zeros_like(w)], -1)
+        return roi_align_rotated_multilevel(
+            feats[:num_levels], rrois, lvl, self.featmap_strides,
+            self.out_size, self.sampling_ratio, valid,
+        )
 
 
 @ROI_EXTRACTORS.register_module()
@@ -106,17 +105,7 @@ class OrientedSingleRoIExtractor:
         )
         scale = jnp.sqrt(jnp.maximum(rois[..., 2] * rois[..., 3], 1e-6))
         lvl = _map_levels(scale, num_levels, self.finest_scale)
-        out = 0.0
-        for i in range(num_levels):
-            sel = (lvl == i).astype(feats[i].dtype)
-            if valid is not None:
-                sel = sel * valid.astype(feats[i].dtype)
-            aligned = roi_align_rotated(
-                feats[i],
-                rois,
-                self.out_size,
-                1.0 / self.featmap_strides[i],
-                self.sampling_ratio,
-            )
-            out = out + aligned * sel[..., None, None, None]
-        return out
+        return roi_align_rotated_multilevel(
+            feats[:num_levels], rois, lvl, self.featmap_strides,
+            self.out_size, self.sampling_ratio, valid,
+        )

@@ -97,3 +97,108 @@ def roi_align(
     return roi_align_rotated(
         feat, rrois, out_size, spatial_scale, sampling_ratio, valid
     )
+
+
+def _rotated_sample_coords(rois, out_size, sampling_ratio):
+    """Per-bin sample points of a rotated RoI in image coords.
+
+    rois (B, R, 5) -> sy, sx (B, R, P, P, G) with G = sampling_ratio^2.
+    Shared between the single-level and multi-level aligners.
+    """
+    P = out_size
+    g = sampling_ratio
+    cx = rois[..., 0]
+    cy = rois[..., 1]
+    w = jnp.maximum(rois[..., 2], 1.0)
+    h = jnp.maximum(rois[..., 3], 1.0)
+    theta = rois[..., 4]
+
+    gy = (jnp.arange(g) + 0.5) / g
+    gx = (jnp.arange(g) + 0.5) / g
+    fy = (jnp.arange(P)[:, None] + 0.0)[..., None, None]
+    fx = (jnp.arange(P)[None, :] + 0.0)[..., None, None]
+    sub_y = (fy + gy[None, None, :, None]) / P
+    sub_x = (fx + gx[None, None, None, :]) / P
+    sub_y = jnp.broadcast_to(sub_y, (P, P, g, g)).reshape(P, P, g * g)
+    sub_x = jnp.broadcast_to(sub_x, (P, P, g, g)).reshape(P, P, g * g)
+
+    ly = (sub_y[None, None] - 0.5) * h[..., None, None, None]
+    lx = (sub_x[None, None] - 0.5) * w[..., None, None, None]
+    cos = jnp.cos(theta)[..., None, None, None]
+    sin = jnp.sin(theta)[..., None, None, None]
+    sy = cy[..., None, None, None] + sin * lx + cos * ly
+    sx = cx[..., None, None, None] + cos * lx - sin * ly
+    return sy, sx
+
+
+def roi_align_rotated_multilevel(
+    feats,
+    rois,
+    lvl,
+    strides,
+    out_size=7,
+    sampling_ratio=2,
+    valid=None,
+):
+    """Level-routed rotated RoIAlign: ONE gather per sample, from a
+    concatenated per-level corner table.
+
+    The fixed-shape alternative to aligning every RoI on every level and
+    masking (4x the gather volume — the previous extractor design): the
+    per-level corner tables (deform_conv._corner_table) are concatenated
+    along rows, each RoI's samples are scaled by ITS level's stride and
+    offset to that level's rows, and a single flat gather fetches them.
+    Matches the reference's dynamic per-level routing
+    (roi_extractors/oriented_single_level.py:53-71) with static shapes.
+
+    Args:
+      feats: list of (B, H_l, W_l, C) NHWC pyramid levels.
+      rois: (B, R, 5) (cx, cy, w, h, theta) in IMAGE coords.
+      lvl: (B, R) int32 level index per RoI (see extractor map_levels).
+      strides: per-level image-to-feature stride list.
+    Returns (B, R, P, P, C).
+    """
+    from .deform_conv import _corner_table, corner_weights_and_rows
+
+    B, _, _, C = feats[0].shape
+    tables, row_offs, hs, ws = [], [], [], []
+    off = 0
+    for f in feats:
+        _, H, W, _ = f.shape
+        tables.append(_corner_table(f).reshape(B, (H + 1) * (W + 1), 4 * C))
+        row_offs.append(off)
+        hs.append(H)
+        ws.append(W)
+        off += (H + 1) * (W + 1)
+    table = jnp.concatenate(tables, axis=1)  # (B, T, 4C)
+
+    stride = jnp.take(jnp.asarray(strides, jnp.float32), lvl)  # (B, R)
+    Hl = jnp.take(jnp.asarray(hs, jnp.int32), lvl)
+    Wl = jnp.take(jnp.asarray(ws, jnp.int32), lvl)
+    base = jnp.take(jnp.asarray(row_offs, jnp.int32), lvl)
+
+    # scale each RoI into ITS level's feature coords first, so the
+    # w/h >= 1 clamp applies in feature units — bit-exact with the
+    # single-level roi_align_rotated path
+    inv = (1.0 / stride)[..., None]
+    rois_feat = jnp.concatenate(
+        [rois[..., :4] * inv, rois[..., 4:5]], -1
+    )
+    sy, sx = _rotated_sample_coords(rois_feat, out_size, sampling_ratio)
+    sy = sy - 0.5  # aligned=True half-pixel convention
+    sx = sx - 0.5
+    ex = lambda a: a[..., None, None, None]
+    # the helper's row formula yq*(W+1)+xq broadcasts the per-sample W,
+    # giving the right pitch within each level's table slice
+    cw, local_rows = corner_weights_and_rows(
+        sy, sx, ex(Hl), ex(Wl), table.dtype
+    )
+    idx = ex(base) + local_rows
+    g = jnp.take_along_axis(
+        table, idx.reshape(B, -1)[..., None], axis=1
+    ).reshape(*idx.shape, 4, C)
+    out = jnp.einsum("...cf,...c->...f", g, cw)
+    out = out.mean(-2)  # average the G samples per bin
+    if valid is not None:
+        out = out * valid[..., None, None, None]
+    return out
