@@ -453,23 +453,16 @@ class _RiRoIExtractor:
         self.finest_scale = finest_scale
 
     def __call__(self, feats, rois, valid=None):
-        from ...ops.riroi_align import riroi_align
+        from ...ops.riroi_align import riroi_align_multilevel
         from ..roi_extractors.single_level import _map_levels
 
         num_levels = len(self.featmap_strides)
         scale = jnp.sqrt(jnp.maximum(rois[..., 2] * rois[..., 3], 1e-6))
         lvl = _map_levels(scale, num_levels, self.finest_scale)
-        out = 0.0
-        for i in range(num_levels):
-            sel = (lvl == i).astype(feats[i].dtype)
-            if valid is not None:
-                sel = sel * valid.astype(feats[i].dtype)
-            aligned = riroi_align(
-                feats[i], rois, self.out_size,
-                1.0 / self.featmap_strides[i], 2,
-            )
-            out = out + aligned * sel[..., None, None, None]
-        return out
+        return riroi_align_multilevel(
+            feats[:num_levels], rois, lvl, self.featmap_strides,
+            self.out_size, 2, valid=valid,
+        )
 
 
 @HEADS.register_module()

@@ -17,26 +17,15 @@ from .roi_align_rotated import roi_align_rotated
 N_ORIENT = 8
 
 
-def riroi_align(
-    feat,
-    rois,
-    out_size=7,
-    spatial_scale=1.0,
-    sampling_ratio=2,
-    n_orientation=N_ORIENT,
-    valid=None,
-):
-    """feat (B, H, W, F*n_orientation) with orientation fastest;
-    rois (B, R, 5). Returns (B, R, P, P, F*n_orientation)."""
-    out = roi_align_rotated(
-        feat, rois, out_size, spatial_scale, sampling_ratio, valid
-    )  # (B, R, P, P, C)
+def _orientation_shift(out, rois, n_orientation):
+    """Circular shift of orientation channels by the RoI angle with
+    linear interpolation between the two nearest discrete orientations
+    (reference riroi_align.py orientation-channel logic)."""
     B, R, P, _, C = out.shape
     f = C // n_orientation
     x = out.reshape(B, R, P, P, f, n_orientation)
 
     theta = rois[..., 4]  # (B, R)
-    # orientation shift: theta / (2*pi / n), interpolated between floor/ceil
     t = theta / (2 * jnp.pi / n_orientation)
     i0 = jnp.floor(t)
     frac = (t - i0)[..., None, None, None, None]
@@ -53,3 +42,40 @@ def riroi_align(
     hi = shift(i0 + 1)
     out = (1 - frac) * lo + frac * hi
     return out.reshape(B, R, P, P, C)
+
+
+def riroi_align(
+    feat,
+    rois,
+    out_size=7,
+    spatial_scale=1.0,
+    sampling_ratio=2,
+    n_orientation=N_ORIENT,
+    valid=None,
+):
+    """feat (B, H, W, F*n_orientation) with orientation fastest;
+    rois (B, R, 5). Returns (B, R, P, P, F*n_orientation)."""
+    out = roi_align_rotated(
+        feat, rois, out_size, spatial_scale, sampling_ratio, valid
+    )  # (B, R, P, P, C)
+    return _orientation_shift(out, rois, n_orientation)
+
+
+def riroi_align_multilevel(
+    feats,
+    rois,
+    lvl,
+    strides,
+    out_size=7,
+    sampling_ratio=2,
+    n_orientation=N_ORIENT,
+    valid=None,
+):
+    """Level-routed RiRoIAlign: one flat corner-table gather (see
+    roi_align_rotated_multilevel) + the orientation-channel shift."""
+    from .roi_align_rotated import roi_align_rotated_multilevel
+
+    out = roi_align_rotated_multilevel(
+        feats, rois, lvl, strides, out_size, sampling_ratio, valid
+    )
+    return _orientation_shift(out, rois, n_orientation)
