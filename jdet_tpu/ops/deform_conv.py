@@ -41,7 +41,11 @@ def bilinear_sample_nhwc(x, sy, sx):
 
 def corner_weights_and_rows(sy, sx, H, W, dtype):
     """Bilinear corner weights (..., 4) with border masks folded in, and
-    the corner-table row index (...,) for samples sy/sx."""
+    the corner-table row index (...,) for samples sy/sx.
+
+    H/W may be scalars or arrays broadcastable to sy/sx (per-sample
+    feature dims — used by the multi-level RoI extractor where each RoI
+    lives on its own FPN level)."""
     y0 = jnp.floor(sy)
     x0 = jnp.floor(sx)
     wy = (sy - y0).astype(dtype)
