@@ -155,3 +155,47 @@ def test_checkpoint_roundtrip(mini_cfg, tmp_path):
     s2 = nnx.to_flat_state(nnx.state(m2))
     for (p1, l1), (p2, l2) in zip(s1, s2):
         assert np.allclose(np.asarray(l1.value), np.asarray(l2.value)), p1
+
+
+def test_runner_device_normalize_uint8(tmp_path):
+    """cfg.device_normalize + dataset image_dtype=uint8: the Runner must
+    train and evaluate while shipping raw uint8 batches and normalizing
+    on device (jdet_tpu.parallel.spmd.make_device_normalizer)."""
+    from jdet_tpu.runner import Runner
+
+    root = str(tmp_path)
+    img_dir, ann = make_synthetic_dota(root, n_images=4, size=128)
+    ds = dict(
+        type="DOTADataset", annotations_file=ann, images_dir=img_dir,
+        image_size=(128, 128), max_gt=16, image_dtype="uint8",
+        transforms=[dict(type="RotatedResize", min_size=128, max_size=128)],
+    )
+    cfg = Config(
+        name="u8", work_dir=os.path.join(root, "work"),
+        max_epoch=1, log_interval=2, checkpoint_interval=100,
+        eval_interval=None, seed=0,
+        device_normalize=dict(mean=[0, 0, 0], std=[255, 255, 255]),
+        model=dict(
+            type="RotatedRetinaNet",
+            backbone=dict(type="ResNet", depth=18, frozen_stages=-1),
+            neck=dict(type="FPN", out_channels=32, num_outs=5, start_level=1,
+                      add_extra_convs="on_input"),
+            bbox_head=dict(
+                type="RotatedRetinaHead", num_classes=16, in_channels=32,
+                feat_channels=32, stacked_convs=1,
+                test_cfg=dict(nms_pre=64, max_per_img=8, score_thr=0.01),
+            ),
+        ),
+        optimizer=dict(type="SGD", lr=0.005, momentum=0.9),
+        scheduler=dict(type="StepLR", milestones=[100]),
+        dataset=dict(
+            train=dict(**ds, batch_size=2, shuffle=True),
+            val=dict(**ds, batch_size=2, filter_empty_gt=False,
+                     drop_last=False),
+        ),
+    )
+    runner = Runner(cfg)
+    runner.train_epoch()
+    assert runner.iter == 2
+    metrics = runner.val()
+    assert "eval/0_meanAP" in metrics
