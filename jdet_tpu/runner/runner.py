@@ -190,11 +190,22 @@ class Runner:
 
     def _build_predict(self):
         jax, nnx = self.jax, self.nnx
+        from functools import partial
+
+        from ..parallel.spmd import batch_sharding, replicated_sharding
+
         graphdef, state = nnx.split(self.model)
 
         preprocess = self._preprocess
+        rep = replicated_sharding(self.mesh)
+        dat = batch_sharding(self.mesh)
 
-        @jax.jit
+        # data-parallel inference: batch sharded over the mesh, params
+        # replicated — val/test scale with the chip count (the reference
+        # runs eval on rank 0 only, runner.py:170; DP eval is the
+        # TPU-native upgrade). _run_inference pads batches to mesh-size
+        # divisibility.
+        @partial(jax.jit, in_shardings=(rep, dat, dat), out_shardings=rep)
         def predict(state, images, scale_factor):
             m = nnx.merge(graphdef, state)
             if preprocess is not None:
@@ -275,9 +286,21 @@ class Runner:
         _, state = self.nnx.split(self.model)
         flip_modes = list(self.cfg.flip_test or [])
         results = []
+        mesh_n = self.mesh.size if self.mesh is not None else 1
         for batch, metas in dataset.batches():
             images = jax.numpy.asarray(batch["images"])
             sf = jax.numpy.asarray(batch["targets"]["scale_factor"])
+            if images.shape[0] % mesh_n:
+                # pad the (last) batch to mesh divisibility; padded rows
+                # have no meta entry so their detections are dropped
+                pad = (-images.shape[0]) % mesh_n
+                images = jax.numpy.concatenate(
+                    [images, jax.numpy.zeros((pad, *images.shape[1:]),
+                                             images.dtype)]
+                )
+                sf = jax.numpy.concatenate(
+                    [sf, jax.numpy.ones((pad,), sf.dtype)]
+                )
             variants = [(None, images)]
             for mode in flip_modes:
                 v = images

@@ -202,3 +202,34 @@ def test_runner_threads_fresh_key_each_iter():
     assert any(lv0[k] != lv1[k] for k in lv0), (
         f"losses identical across iters with lr=0 — key not folded: {lv0}"
     )
+
+
+def test_sharded_predict_matches_single_device():
+    """DP inference (Runner._build_predict sharding layout): predictions
+    from the batch-sharded 8-device mesh equal the single-device ones."""
+    from functools import partial
+
+    from jdet_tpu.parallel.spmd import batch_sharding, replicated_sharding
+
+    model = _tiny_model(seed=0)
+    graphdef, state = nnx.split(model)
+    images, _ = _batch(B=8)
+    sf = jnp.ones((8,), jnp.float32)
+
+    def make_predict(mesh):
+        rep = replicated_sharding(mesh)
+        dat = batch_sharding(mesh)
+
+        @partial(jax.jit, in_shardings=(rep, dat, dat), out_shardings=rep)
+        def predict(state, images, scale_factor):
+            m = nnx.merge(graphdef, state)
+            return m.predict(images, {"scale_factor": scale_factor})
+
+        return predict
+
+    det8 = make_predict(make_mesh(8))(state, images, sf)
+    det1 = make_predict(make_mesh(1))(state, images, sf)
+    for k in det1:
+        a = np.asarray(jax.device_get(det1[k]))
+        b = np.asarray(jax.device_get(det8[k]))
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5, err_msg=k)
