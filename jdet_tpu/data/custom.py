@@ -16,6 +16,7 @@ is the device's job).
 """
 from __future__ import annotations
 
+import collections
 import os
 import pickle
 import queue
@@ -198,17 +199,26 @@ class CustomDataset:
         rng = np.random.default_rng(seed + epoch)
         if self.shuffle:
             rng.shuffle(order)
-        if self.shard_by_process:
-            import jax
-
-            order = order[jax.process_index()::max(jax.process_count(), 1)]
         n = len(order)
         if self.drop_last:
             n = (n // self.batch_size) * self.batch_size
-        return [
+        batches = [
             order[i : i + self.batch_size]
             for i in range(0, n, self.batch_size)
         ]
+        if self.shard_by_process:
+            import jax
+
+            # shard whole BATCHES round-robin and truncate every host to
+            # the same count — the jitted train step is a collective over
+            # the global mesh, so unequal per-host step counts would
+            # deadlock (reference drop_last=jt.in_mpi guarantees equal
+            # counts the same way, runner.py:44)
+            pc = max(jax.process_count(), 1)
+            per_host = len(batches) // pc
+            start = jax.process_index()
+            batches = batches[start::pc][:per_host]
+        return batches
 
     def _load_batch(self, args):
         """Decode + transform + collate one batch (runs in a worker)."""
@@ -257,7 +267,22 @@ class CustomDataset:
         work = [(b, epoch, seed) for b in idx_batches]
 
         if self.num_workers and self.num_workers > 1:
-            for item in self._get_pool().imap(_pool_load, work):
+            # bounded in-flight window (imap would enqueue the whole
+            # epoch up front and buffer finished batches without limit
+            # while the consumer is blocked on device steps)
+            pool = self._get_pool()
+            window = self.num_workers + 2
+            pending = collections.deque()
+            it = iter(work)
+            for w in it:
+                pending.append(pool.apply_async(_pool_load, (w,)))
+                if len(pending) >= window:
+                    break
+            while pending:
+                item = pending.popleft().get()
+                nxt = next(it, None)
+                if nxt is not None:
+                    pending.append(pool.apply_async(_pool_load, (nxt,)))
                 yield item
             return
 

@@ -147,7 +147,16 @@ class YoloDataset(CustomDataset):
         if "ann" in info:
             hb = np.asarray(info["ann"].get("hboxes",
                                             info["ann"].get("bboxes")),
-                            np.float32).reshape(-1, 4)
+                            np.float32)
+            if hb.ndim == 2 and hb.shape[-1] == 5:
+                # CustomDataset-style pkl stores rotated (n, 5) boxes;
+                # take the axis-aligned hull
+                cx, cy, bw, bh, a = hb.T
+                ca, sa = np.abs(np.cos(a)), np.abs(np.sin(a))
+                ex = (bw * ca + bh * sa) / 2
+                ey = (bw * sa + bh * ca) / 2
+                hb = np.stack([cx - ex, cy - ey, cx + ex, cy + ey], 1)
+            hb = hb.reshape(-1, 4).astype(np.float32)
             labels = np.asarray(info["ann"]["labels"], np.int64).reshape(-1)
         else:
             stem = os.path.splitext(info["filename"])[0]
@@ -290,6 +299,9 @@ class YoloDataset(CustomDataset):
             metas.append({k2: t.get(k2) for k2 in
                           ("img_size", "ori_img_size", "scale_factor",
                            "filename", "img_id")})
+            # gt for evaluate(): letterboxed-coords hboxes + 1-based labels
+            metas[-1]["hboxes"] = t["hboxes"]
+            metas[-1]["labels"] = t["labels"]
         batch = {
             "images": images,
             "targets": {
@@ -302,3 +314,37 @@ class YoloDataset(CustomDataset):
             },
         }
         return batch, metas
+
+    # ------------------------------------------------------------------
+    def evaluate(self, results, work_dir=None, epoch=None, **kw):
+        """COCO-protocol hbb mAP (reference yolo eval protocol uses COCO
+        metrics; numpy coco_map from data/coco.py)."""
+        from .coco import coco_map
+
+        dets, gts = {}, {}
+        max_label = 0
+        for det, meta in results:
+            img_id = meta["img_id"]
+            hbb = np.asarray(det["boxes"]).reshape(-1, 4)
+            valid = np.asarray(
+                det.get("valid", np.ones(len(hbb), bool))
+            ).astype(bool)
+            dets[img_id] = (
+                hbb[valid],
+                np.asarray(det["scores"])[valid],
+                np.asarray(det["labels"])[valid],
+            )
+            ghbb = np.asarray(
+                meta.get("hboxes", np.zeros((0, 4)))
+            ).reshape(-1, 4)
+            glab = np.asarray(meta.get("labels", np.zeros(0))).reshape(-1)
+            gts[img_id] = (ghbb, glab)
+            if len(glab):
+                max_label = max(max_label, int(glab.max()))
+        num_classes = (
+            len(self.CLASSES) if getattr(self, "CLASSES", None)
+            else max(max_label, 1)
+        )
+        ap = coco_map(dets, gts, num_classes)
+        return {"eval/coco_mAP": ap["mAP"], "eval/coco_mAP50": ap["mAP50"],
+                "eval/0_meanAP": ap["mAP50"]}

@@ -272,6 +272,7 @@ class YOLO(nnx.Module):
         label_smoothing=0.0,
         conf_thres=0.001,
         iou_thres=0.65,
+        nms_pre=2048,
         max_per_img=300,
         *,
         rngs: nnx.Rngs,
@@ -312,6 +313,7 @@ class YOLO(nnx.Module):
         self.cn = 0.5 * label_smoothing
         self.conf_thres = conf_thres
         self.iou_thres = iou_thres
+        self.nms_pre = nms_pre
         self.max_per_img = max_per_img
         self.gr = 1.0
 
@@ -368,7 +370,6 @@ class YOLO(nnx.Module):
         lbox = 0.0
         lobj = 0.0
         lcls = 0.0
-        num_pos_total = 0.0
         for i, p in enumerate(preds):
             s = self.detect.stride[i]
             H, W = p.shape[1:3]
@@ -405,7 +406,6 @@ class YOLO(nnx.Module):
             mf = match.astype(jnp.float32)
             n_pos = jnp.maximum(mf.sum(), 1.0)
             lbox = lbox + ((1.0 - iou) * mf).sum() / n_pos
-            num_pos_total = num_pos_total + mf.sum()
 
             # objectness target: scatter detached IoU into the map
             tgt_val = (
@@ -478,6 +478,14 @@ class YOLO(nnx.Module):
             scores = zi[:, 4:]
             best = scores.max(-1)
             label = scores.argmax(-1)
+            # nms_pre top-k budget: NMS builds an NxN IoU matrix, so cap
+            # N (every other head does the same via test_cfg.nms_pre) —
+            # 25k raw anchors at 640px would otherwise need a 2.5 GB
+            # matrix per image
+            k = min(self.nms_pre, best.shape[0])
+            best, sel = jax.lax.top_k(best, k)
+            boxes = boxes[sel]
+            label = label[sel]
             valid = best > self.conf_thres
             # per-class NMS via coordinate offset
             span = boxes.max() - boxes.min() + 1.0

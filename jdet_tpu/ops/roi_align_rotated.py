@@ -42,36 +42,12 @@ def roi_align_rotated(
 
     Returns (B, R, out_size, out_size, C).
     """
-    P = out_size
-    g = sampling_ratio
-    cx = rois[..., 0] * spatial_scale
-    cy = rois[..., 1] * spatial_scale
-    w = jnp.maximum(rois[..., 2] * spatial_scale, 1.0)
-    h = jnp.maximum(rois[..., 3] * spatial_scale, 1.0)
-    theta = rois[..., 4]
-
-    bin_h = h / P  # (B, R)
-    bin_w = w / P
-    # local coords of each sample point relative to the roi center
-    py = (jnp.arange(P) + 0.5)[None, :, None] / P  # fraction along h
-    px = (jnp.arange(P) + 0.5)[None, None, :] / P
-    gy = (jnp.arange(g) + 0.5) / g
-    gx = (jnp.arange(g) + 0.5) / g
-    # per-bin sample offsets: (P, P, g, g)
-    fy = (jnp.arange(P)[:, None] + 0.0)[..., None, None]
-    fx = (jnp.arange(P)[None, :] + 0.0)[..., None, None]
-    sub_y = (fy + gy[None, None, :, None]) / P  # (P, P, g, 1) fraction in [0,1]
-    sub_x = (fx + gx[None, None, None, :]) / P  # (P, P, 1, g)
-    sub_y = jnp.broadcast_to(sub_y, (P, P, g, g)).reshape(P, P, g * g)
-    sub_x = jnp.broadcast_to(sub_x, (P, P, g, g)).reshape(P, P, g * g)
-
-    # (B, R, P, P, G) local offsets from center (y down)
-    ly = (sub_y[None, None] - 0.5) * h[..., None, None, None]
-    lx = (sub_x[None, None] - 0.5) * w[..., None, None, None]
-    cos = jnp.cos(theta)[..., None, None, None]
-    sin = jnp.sin(theta)[..., None, None, None]
-    sy = cy[..., None, None, None] + sin * lx + cos * ly
-    sx = cx[..., None, None, None] + cos * lx - sin * ly
+    # scale into feature coords first (w/h clamp applies in feature
+    # units, reference v1 convention), then shared sample-point geometry
+    rois_feat = jnp.concatenate(
+        [rois[..., :4] * spatial_scale, rois[..., 4:5]], -1
+    )
+    sy, sx = _rotated_sample_coords(rois_feat, out_size, sampling_ratio)
     # -0.5 half-pixel alignment (aligned=True convention, roi_align.py v1)
     out = _sample_avg(feat, sy - 0.5, sx - 0.5)
     if valid is not None:

@@ -34,18 +34,27 @@ def numpy_to_state(model_or_state, flat_numpy, strict=True):
     )
     flat = nnx.to_flat_state(state)
     missing = []
+    out = []
     for path, leaf in flat:
         key = "/".join(map(str, path))
+        has_val = hasattr(leaf, "value")  # Variable leaf vs plain array
+        cur = leaf.value if has_val else leaf
         if key in flat_numpy:
-            leaf.value = np.asarray(flat_numpy[key]).reshape(np.shape(leaf.value))
+            arr = np.asarray(flat_numpy[key]).reshape(np.shape(cur))
+            if has_val:
+                leaf.value = arr
+                out.append((path, leaf))
+            else:
+                out.append((path, arr))
         else:
             missing.append(key)
+            out.append((path, leaf))
     if strict and missing:
         raise KeyError(f"missing {len(missing)} keys, e.g. {missing[:5]}")
-    return state
+    return nnx.from_flat_state(out)
 
 
-def save_checkpoint(path, model, optimizer=None, meta=None):
+def save_checkpoint(path, model, optimizer=None, meta=None, ema=None):
     os.makedirs(os.path.dirname(path), exist_ok=True)
     payload = {
         "meta": {
@@ -57,6 +66,17 @@ def save_checkpoint(path, model, optimizer=None, meta=None):
     }
     if optimizer is not None:
         payload["optimizer"] = state_to_numpy(nnx.state(optimizer))
+    if ema is not None:
+        # EMA shadow weights + update counter: eval metrics are reported
+        # on the EMA model, so resume must restore it (reference ModelEMA
+        # state travels in the yolo checkpoint, networks/yolo.py)
+        import jax
+
+        payload["ema"] = {
+            "state": jax.tree.map(lambda x: np.asarray(x), ema.ema),
+            "updates": int(ema.updates),
+            "decay": float(ema.decay),
+        }
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         pickle.dump(payload, f, protocol=4)
@@ -75,7 +95,10 @@ def load_checkpoint(path, model, optimizer=None, model_only=False):
             optimizer,
             numpy_to_state(nnx.state(optimizer), payload["optimizer"], strict=False),
         )
-    return payload.get("meta", {})
+    meta = dict(payload.get("meta", {}))
+    if not model_only and "ema" in payload:
+        meta["_ema_payload"] = payload["ema"]
+    return meta
 
 
 def save_checkpoint_orbax(path, model, optimizer=None, meta=None):

@@ -194,16 +194,21 @@ class Runner:
 
         from ..parallel.spmd import batch_sharding, replicated_sharding
 
+        from ..parallel.spmd import make_mesh
+
         graphdef, state = nnx.split(self.model)
 
         preprocess = self._preprocess
-        rep = replicated_sharding(self.mesh)
-        dat = batch_sharding(self.mesh)
+        # LOCAL mesh: val/test run on the main process only (reference
+        # @jt.single_process_scope, runner.py:170), so a global-mesh
+        # collective would deadlock multi-host — shard inference over
+        # this host's devices only
+        self._predict_mesh = make_mesh(devices=self.jax.local_devices())
+        rep = replicated_sharding(self._predict_mesh)
+        dat = batch_sharding(self._predict_mesh)
 
-        # data-parallel inference: batch sharded over the mesh, params
-        # replicated — val/test scale with the chip count (the reference
-        # runs eval on rank 0 only, runner.py:170; DP eval is the
-        # TPU-native upgrade). _run_inference pads batches to mesh-size
+        # data-parallel inference: batch sharded over the local mesh,
+        # params replicated. _run_inference pads batches to mesh-size
         # divisibility.
         @partial(jax.jit, in_shardings=(rep, dat, dat), out_shardings=rep)
         def predict(state, images, scale_factor):
@@ -286,7 +291,11 @@ class Runner:
         _, state = self.nnx.split(self.model)
         flip_modes = list(self.cfg.flip_test or [])
         results = []
-        mesh_n = self.mesh.size if self.mesh is not None else 1
+        mesh_n = (
+            self._predict_mesh.size
+            if getattr(self, "_predict_mesh", None) is not None
+            else 1
+        )
         for batch, metas in dataset.batches():
             images = jax.numpy.asarray(batch["images"])
             sf = jax.numpy.asarray(batch["targets"]["scale_factor"])
@@ -440,13 +449,28 @@ class Runner:
             "max_iter": self.max_iter,
             "config": self.cfg.dump() if hasattr(self.cfg, "dump") else dict(self.cfg),
         }
-        return save_checkpoint(path, self.model, self.optimizer, meta)
+        return save_checkpoint(path, self.model, self.optimizer, meta,
+                               ema=self.ema)
 
     def load(self, path, model_only=False):
         meta = load_checkpoint(path, self.model, self.optimizer, model_only)
         if not model_only:
             self.epoch = meta.get("epoch", 0)
             self.iter = meta.get("iter", 0)
+        ema_payload = meta.pop("_ema_payload", None)
+        if ema_payload is not None and self._ema_cfg is not None:
+            # restore the EMA shadow weights + ramp counter; without this
+            # a resume would silently restart the EMA from the raw
+            # weights at updates=0
+            from ..utils.ema import ModelEMA
+
+            self.ema = ModelEMA(
+                ema_payload["state"],
+                decay=ema_payload.get(
+                    "decay", self._ema_cfg.get("decay", 0.9999)
+                ),
+                updates=ema_payload.get("updates", 0),
+            )
         self._train_step = None  # state must be re-split
         self._predict_fn = None
         return meta

@@ -181,3 +181,65 @@ def test_model_ema_ramp_and_blend():
     want = np.asarray(leaf0) * d1
     np.testing.assert_allclose(np.asarray(blended), want, rtol=1e-4,
                                atol=1e-6)
+
+
+def test_yolo_dataset_evaluate_coco_map(tmp_path):
+    """YoloDataset.evaluate closes the val loop with COCO-protocol mAP;
+    perfect detections on the gt boxes must score mAP50 == 1."""
+    from jdet_tpu.data.yolo import YoloDataset
+
+    root = _write_yolo_dataset(str(tmp_path), n=3)
+    ds = YoloDataset(images_dir=f"{root}/images", labels_dir=f"{root}/labels",
+                     img_size=96, batch_size=1, augment=False, mosaic=False,
+                     max_gt=8, drop_last=False, classes=["a", "b", "c"])
+    results = []
+    for batch, metas in ds.batches():
+        for meta in metas:
+            hb = np.asarray(meta["hboxes"], np.float32)
+            lab = np.asarray(meta["labels"], np.int64)
+            det = {
+                "boxes": hb,
+                "scores": np.full(len(hb), 0.9, np.float32),
+                "labels": lab - 1,  # predictions are 0-based
+                "valid": np.ones(len(hb), bool),
+            }
+            results.append((det, meta))
+    metrics = ds.evaluate(results)
+    assert metrics["eval/coco_mAP50"] == 1.0
+    assert metrics["eval/coco_mAP"] > 0.99
+
+
+def test_ema_checkpoint_roundtrip(tmp_path):
+    """EMA shadow weights + ramp counter must survive save/load
+    (eval reports EMA metrics; a resume that reset the EMA would ship a
+    different model than the one validated)."""
+    import jax
+
+    from jdet_tpu.runner.checkpoint import load_checkpoint, save_checkpoint
+    from jdet_tpu.utils.ema import ModelEMA
+
+    m = _model(nc=3)
+    _, state = nnx.split(m)
+    ema = ModelEMA(state, decay=0.9)
+    zeroed = jax.tree.map(
+        lambda x: jnp.zeros_like(x) if jnp.issubdtype(x.dtype, jnp.floating)
+        else x, state,
+    )
+    for _ in range(3):
+        ema.update(zeroed)
+
+    path = str(tmp_path / "ck" / "ckpt.pkl")
+    save_checkpoint(path, m, meta={"epoch": 1}, ema=ema)
+
+    m2 = _model(nc=3)
+    meta = load_checkpoint(path, m2)
+    p = meta.pop("_ema_payload")
+    ema2 = ModelEMA(p["state"], decay=p["decay"], updates=p["updates"])
+    assert ema2.updates == 3
+    assert abs(ema2.decay - 0.9) < 1e-9
+    a = jax.tree.leaves(ema.ema)[0]
+    b = jax.tree.leaves(ema2.ema)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+    # restored EMA keeps updating with the ramped counter
+    ema2.update(zeroed)
+    assert ema2.updates == 4
