@@ -208,8 +208,7 @@ def main():
             neck=dict(type="FPN", out_channels=256, num_outs=5, start_level=1,
                       add_extra_convs="on_input"),
             bbox_head=dict(type="RotatedRetinaHead", num_classes=16,
-                           in_channels=256,
-                           test_cfg=dict(nms_pre=512, max_per_img=100)),
+                           in_channels=256),
         ), 32),
         ("s2anet_r50", dict(
             type="S2ANet",

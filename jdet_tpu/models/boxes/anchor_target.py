@@ -115,7 +115,9 @@ def anchor_target_single(
     # gathers at (n,)~200k scale to a serial loop on TPU (~9 ms/step);
     # the (n, k) @ (k, 5) contraction runs on the MXU in <1 ms.
     oh = jax.nn.one_hot(safe_gt, k, dtype=gt_bboxes.dtype)
-    matched_gt = oh @ gt_bboxes
+    # HIGHEST precision: default matmul precision truncates f32 operands to
+    # bf16 on the MXU, quantizing ~1024-px gt coordinates by up to ~4 px.
+    matched_gt = jnp.matmul(oh, gt_bboxes, precision=jax.lax.Precision.HIGHEST)
     if reg_decoded_bbox:
         bbox_targets = jnp.where(pos_mask[:, None], matched_gt, 0.0)
     else:

@@ -29,7 +29,20 @@ def build_detector(cfg, rngs=None, seed=0):
     if "backbone" in cfg:
         bcfg = dict(cfg.pop("backbone"))
         bcls = BACKBONES.get(bcfg.pop("type"))
+        pretrained = bcfg.pop("pretrained", None)
         backbone = bcls(rngs=rngs, **bcfg)
+        if isinstance(pretrained, str):
+            # file-based counterpart of the reference's jittorhub auto-load
+            # (backbones/resnet.py:192-235); no egress here, so configs
+            # point at a local state-dict file
+            from .pretrained import load_pretrained_backbone
+
+            load_pretrained_backbone(backbone, pretrained)
+        elif pretrained:
+            raise ValueError(
+                "backbone.pretrained must be a local state-dict path "
+                "(this environment has no network egress)"
+            )
         parts["backbone"] = backbone
     if cfg.get("neck") is not None:
         ncfg = dict(cfg.pop("neck"))

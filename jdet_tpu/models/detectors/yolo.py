@@ -382,27 +382,56 @@ class YOLO(nnx.Module):
             # wh-ratio anchor match (yolo.py:459-463)
             r = gwh[:, :, None, :] / anchors_grid[None, None]  # (B,K,na,2)
             match = jnp.maximum(r, 1.0 / r).max(-1) < self.anchor_t
-            match = match & gmask[:, :, None]
 
-            gi = jnp.clip(gxy[..., 0].astype(jnp.int32), 0, W - 1)
-            gj = jnp.clip(gxy[..., 1].astype(jnp.int32), 0, H - 1)
-            cell = gj * W + gi  # (B, K)
-            # predictions at the matched cells: one-hot (K, HW) matmul
-            oh = jax.nn.one_hot(cell, H * W, dtype=pm.dtype)  # (B,K,HW)
-            ps = jnp.einsum("bkh,bhao->bkao", oh, pm)  # (B,K,na,no)
+            # v5 build_targets assigns each gt to its center cell plus the
+            # two nearest neighbor cells (x and y, ±0.5 offsets), tripling
+            # positives; txy targets live in [-0.5, 1.5] to match the
+            # sigmoid*2-0.5 decode (reference yolo.py:459-487).
+            gi0 = jnp.clip(jnp.floor(gxy[..., 0]).astype(jnp.int32), 0, W - 1)
+            gj0 = jnp.clip(jnp.floor(gxy[..., 1]).astype(jnp.int32), 0, H - 1)
+            frac = gxy - jnp.stack([gi0, gj0], -1).astype(jnp.float32)
+            dx = jnp.where(frac[..., 0] < 0.5, -1, 1)
+            dy = jnp.where(frac[..., 1] < 0.5, -1, 1)
+            vx = jnp.where(
+                frac[..., 0] < 0.5, gxy[..., 0] > 1.0, gxy[..., 0] < W - 1.0
+            )
+            vy = jnp.where(
+                frac[..., 1] < 0.5, gxy[..., 1] > 1.0, gxy[..., 1] < H - 1.0
+            )
+            gi = jnp.stack([gi0, jnp.clip(gi0 + dx, 0, W - 1), gi0], -1)
+            gj = jnp.stack([gj0, gj0, jnp.clip(gj0 + dy, 0, H - 1)], -1)
+            valid = jnp.stack([jnp.ones_like(vx), vx, vy], -1)
+            valid = valid & gmask[:, :, None]
+            cell = (gj * W + gi).reshape(B, K * 3)  # variant axis innermost
+            txy = (
+                gxy[:, :, None, :] - jnp.stack([gi, gj], -1).astype(jnp.float32)
+            ).reshape(B, K * 3, 1, 2)
+            match = (match[:, :, None, :] & valid[:, :, :, None]).reshape(
+                B, K * 3, na
+            )
+            gwh3 = jnp.broadcast_to(
+                gwh[:, :, None, :], (B, K, 3, 2)
+            ).reshape(B, K * 3, 2)
+            # predictions at the matched cells: one-hot (3K, HW) matmul.
+            # HIGHEST precision: default MXU matmul truncates the f32
+            # logits to bf16 on the gather.
+            oh = jax.nn.one_hot(cell, H * W, dtype=pm.dtype)  # (B,3K,HW)
+            ps = jnp.einsum(
+                "bkh,bhao->bkao", oh, pm,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # (B,3K,na,no)
 
             pxy = jax.nn.sigmoid(ps[..., :2]) * 2.0 - 0.5
             pwh = (jax.nn.sigmoid(ps[..., 2:4]) * 2.0) ** 2 * anchors_grid[
                 None, None
             ]
-            txy = (gxy - jnp.floor(gxy))[:, :, None, :]
             iou = _ciou_cxcywh(
                 jnp.concatenate([pxy, pwh], -1),
                 jnp.concatenate(
                     [jnp.broadcast_to(txy, pxy.shape),
-                     jnp.broadcast_to(gwh[:, :, None, :], pwh.shape)], -1
+                     jnp.broadcast_to(gwh3[:, :, None, :], pwh.shape)], -1
                 ),
-            )  # (B, K, na)
+            )  # (B, 3K, na)
             mf = match.astype(jnp.float32)
             n_pos = jnp.maximum(mf.sum(), 1.0)
             lbox = lbox + ((1.0 - iou) * mf).sum() / n_pos
@@ -422,9 +451,12 @@ class YOLO(nnx.Module):
             lobj = lobj + balance[i] * _bce_mean(pm[..., 4], tobj)
 
             if self.nc > 1:
+                cls3 = jnp.broadcast_to(
+                    cls0[:, :, None], (B, K, 3)
+                ).reshape(B, K * 3)
                 tcls = (
-                    jax.nn.one_hot(cls0, self.nc) * (self.cp - self.cn) + self.cn
-                )  # (B, K, nc)
+                    jax.nn.one_hot(cls3, self.nc) * (self.cp - self.cn) + self.cn
+                )  # (B, 3K, nc)
                 cls_logits = ps[..., 5:]
                 bce = _bce_none(
                     cls_logits, jnp.broadcast_to(tcls[:, :, None], cls_logits.shape)

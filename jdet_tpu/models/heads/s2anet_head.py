@@ -310,6 +310,12 @@ class S2ANetHead(nnx.Module):
             ("odm", refine, odm_cls, odm_reg, "odm_cfg"),
         ):
             cfg = self.train_cfg[cfg_key]
+            bcfg = self.loss_cfgs[f"{name}_bbox"]
+            bkind = bcfg.get("type", "smooth_l1")
+            # RIDet (and other decoded-box losses) compare decoded preds
+            # against raw gt boxes (reference s2anet ridet config sets
+            # reg_decoded_bbox=True; s2anet_head.py:492-502)
+            reg_decoded = bool(cfg.get("reg_decoded_bbox", bkind == "ridet"))
             tgt, num_pos, num_neg = anchor_target_batch(
                 anchors,
                 valid,
@@ -322,10 +328,10 @@ class S2ANetHead(nnx.Module):
                 allowed_border=cfg.get("allowed_border", -1),
                 pos_weight=cfg.get("pos_weight", -1),
                 rotated=True,
+                reg_decoded_bbox=reg_decoded,
             )
             num_total = jnp.maximum(num_pos, 1).astype(cls_p.dtype)
             ccfg = self.loss_cfgs[f"{name}_cls"]
-            bcfg = self.loss_cfgs[f"{name}_bbox"]
             losses[f"loss_{name}_cls"] = (
                 sigmoid_focal_loss(
                     cls_p,
@@ -337,16 +343,34 @@ class S2ANetHead(nnx.Module):
                 )
                 * ccfg.get("loss_weight", 1.0)
             )
-            losses[f"loss_{name}_bbox"] = (
-                smooth_l1_loss(
-                    reg_p,
-                    tgt["bbox_targets"],
-                    weight=tgt["bbox_weights"],
-                    beta=bcfg.get("beta", 1.0 / 9.0),
-                    avg_factor=num_total,
+            if bkind == "ridet":
+                from ..losses import ridet_loss
+
+                decoded = delta2rbox(
+                    anchors if anchors.ndim == 3 else anchors[None],
+                    reg_p, self.target_means, self.target_stds,
                 )
-                * bcfg.get("loss_weight", 1.0)
-            )
+                losses[f"loss_{name}_bbox"] = (
+                    ridet_loss(
+                        decoded.reshape(-1, 5),
+                        tgt["bbox_targets"].reshape(-1, 5),
+                        weight=tgt["bbox_weights"][..., 0].reshape(-1),
+                        beta=bcfg.get("beta", 1.0),
+                        avg_factor=num_total,
+                    )
+                    * bcfg.get("loss_weight", 1.0)
+                )
+            else:
+                losses[f"loss_{name}_bbox"] = (
+                    smooth_l1_loss(
+                        reg_p,
+                        tgt["bbox_targets"],
+                        weight=tgt["bbox_weights"],
+                        beta=bcfg.get("beta", 1.0 / 9.0),
+                        avg_factor=num_total,
+                    )
+                    * bcfg.get("loss_weight", 1.0)
+                )
         return losses
 
     # ------------------------------------------------------------------

@@ -102,8 +102,9 @@ def multiclass_nms_rotated(
     nms_iou_thr,
     max_per_img,
     score_factors=None,
+    class_cap=None,
 ):
-    """Score-filter -> class-aware NMS -> top-k, fixed output size.
+    """Score-filter -> per-class NMS -> global top-k, fixed output size.
 
     Functional mirror of `multiclass_nms_rotated`
     (ops/nms_rotated.py:540-596) with fixed shapes.
@@ -112,6 +113,8 @@ def multiclass_nms_rotated(
       multi_bboxes: (n, 5) or (n, C*5) rboxes.
       multi_scores: (n, C) class scores (no background column).
       score_factors: optional (n,) multiplier (e.g. centerness).
+      class_cap: per-class candidate budget K (default 512); each class
+        NMS-es its top-K scoring candidates independently.
 
     Returns dict with:
       boxes:  (max_per_img, 5)
@@ -120,39 +123,52 @@ def multiclass_nms_rotated(
       valid:  (max_per_img,) bool
     """
     n, num_classes = multi_scores.shape
-    if multi_bboxes.shape[-1] == 5:
-        boxes = jnp.broadcast_to(
-            multi_bboxes[:, None, :], (n, num_classes, 5)
-        )
-    else:
-        boxes = multi_bboxes.reshape(n, num_classes, 5)
     scores = multi_scores
     if score_factors is not None:
         scores = scores * score_factors[:, None]
 
-    boxes = boxes.reshape(-1, 5)
-    scores = scores.reshape(-1)
-    labels = jnp.tile(jnp.arange(num_classes, dtype=jnp.int32), (n,))
+    # Tiered per-class NMS: classes never suppress each other (the
+    # reference offsets boxes per class for exactly this reason), so NMS
+    # decomposes into C independent K-candidate problems. vs the previous
+    # global top-(4*max_per_img) formulation this shrinks the IoU work
+    # from (4*max_per_img)^2 pairs (64M at the reference test cfg
+    # max_per_img=2000) to C*K^2 (3.9M at K=512) and makes the cost
+    # independent of max_per_img.
+    if class_cap is None:
+        class_cap = 512
+    K = min(n, class_cap)
 
-    valid = scores > score_thr
-    # Pre-NMS cap: keep the top (n*C capped) candidates to bound the IoU
-    # matrix; we take top max(4*max_per_img, 512) by score.
-    cap = min(boxes.shape[0], max(4 * max_per_img, 512))
-    s = jnp.where(valid, scores, -jnp.inf)
-    top_s, top_idx = jax.lax.top_k(s, cap)
-    b = boxes[top_idx]
-    l = labels[top_idx]
-    v = valid[top_idx]
+    valid = scores > score_thr  # (n, C)
+    sT = jnp.where(valid, scores, -jnp.inf).T  # (C, n)
+    top_s, top_i = jax.lax.top_k(sT, K)  # (C, K), sorted desc
+    if multi_bboxes.shape[-1] == 5:
+        b = multi_bboxes[top_i]  # (C, K, 5)
+    else:
+        bT = jnp.transpose(
+            multi_bboxes.reshape(n, num_classes, 5), (1, 0, 2)
+        )
+        b = jnp.take_along_axis(bT, top_i[..., None], axis=1)
+    v = jnp.isfinite(top_s)  # (C, K)
 
-    order, keep = ml_nms_rotated(b, top_s, l, nms_iou_thr, v)
-    # `order` is score-sorted, so the first max_per_img kept entries (pulled
-    # to the front with a stable sort on the keep mask) are the answer.
-    kept_sorted_idx = jnp.argsort(~keep, stable=True)[:max_per_img]
-    valid_out = keep[kept_sorted_idx]
-    src = top_idx[order[kept_sorted_idx]]
-    out_boxes = jnp.where(valid_out[:, None], boxes[src], 0.0)
-    out_scores = jnp.where(valid_out, scores[src], 0.0)
-    out_labels = jnp.where(valid_out, labels[src], -1)
+    def _one_class(bb, vv):
+        iou = box_iou_rotated(bb, bb, impl="xla")
+        return _greedy_sweep(iou > nms_iou_thr, vv)
+
+    keep = jax.vmap(_one_class)(b, v)  # (C, K)
+
+    flat_s = jnp.where(keep, top_s, -jnp.inf).reshape(-1)
+    m = min(max_per_img, flat_s.shape[0])
+    sel_s, sel = jax.lax.top_k(flat_s, m)
+    valid_out = jnp.isfinite(sel_s)
+    out_boxes = jnp.where(valid_out[:, None], b.reshape(-1, 5)[sel], 0.0)
+    out_scores = jnp.where(valid_out, sel_s, 0.0)
+    out_labels = jnp.where(valid_out, (sel // K).astype(jnp.int32), -1)
+    if m < max_per_img:
+        pad = max_per_img - m
+        out_boxes = jnp.pad(out_boxes, ((0, pad), (0, 0)))
+        out_scores = jnp.pad(out_scores, (0, pad))
+        out_labels = jnp.pad(out_labels, (0, pad), constant_values=-1)
+        valid_out = jnp.pad(valid_out, (0, pad))
     return {
         "boxes": out_boxes,
         "scores": out_scores,

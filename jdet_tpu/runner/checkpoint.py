@@ -84,11 +84,33 @@ def save_checkpoint(path, model, optimizer=None, meta=None, ema=None):
     return path
 
 
+def _is_reference_payload(payload):
+    """Reference (jittor JDet) checkpoints carry torch-style names
+    (`.running_mean`, `conv.weight`) and a `jdet_version` meta
+    (reference runner.py:224-261); ours write `jdet_tpu_version` and
+    nnx paths (`.kernel`, `.scale`)."""
+    meta = payload.get("meta", {})
+    if "jdet_tpu_version" in meta:
+        return False
+    if "jdet_version" in meta:
+        return True
+    sd = payload.get("model", {})
+    return any(
+        k.endswith((".running_mean", ".running_var")) for k in sd
+    )
+
+
 def load_checkpoint(path, model, optimizer=None, model_only=False):
     with open(path, "rb") as f:
         payload = pickle.load(f)
     if "model" not in payload:  # raw state_dict checkpoint
-        payload = {"model": payload, "meta": {}}
+        key = "state_dict" if "state_dict" in payload else None
+        payload = {"model": payload[key] if key else payload, "meta": {}}
+    if _is_reference_payload(payload):
+        from ..models.pretrained import import_jdet_checkpoint
+
+        import_jdet_checkpoint(model, payload)
+        return dict(payload.get("meta", {}))
     nnx.update(model, numpy_to_state(model, payload["model"], strict=False))
     if optimizer is not None and not model_only and "optimizer" in payload:
         nnx.update(

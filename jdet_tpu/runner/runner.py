@@ -218,6 +218,7 @@ class Runner:
             return m.predict(images, {"scale_factor": scale_factor})
 
         self._predict_graphdef = graphdef
+        self._predict_rep = rep
         self._predict_fn = predict
 
     # ------------------------------------------------------------------
@@ -283,12 +284,24 @@ class Runner:
         import jax
 
         self._sync_state_to_model()
+        raw_state = None
         if self.ema is not None:
-            # evaluate the EMA weights (reference ModelEMAWraper.execute)
+            # evaluate the EMA weights (reference ModelEMAWraper.execute);
+            # snapshot the raw weights so save() after a load()+val() (no
+            # train step built → _sync_state_to_model is a no-op) does not
+            # checkpoint EMA weights as the 'model' payload
+            _, raw_state = self.nnx.split(self.model)
             self.nnx.update(self.model, self.ema.ema)
         if self._predict_fn is None:
             self._build_predict()
         _, state = self.nnx.split(self.model)
+        if jax.process_count() > 1:
+            # state arrays are committed to the GLOBAL training mesh; the
+            # local-mesh predict jit cannot consume them directly — fetch
+            # to host and re-place on the local mesh (ADVICE r2)
+            state = jax.device_put(
+                jax.device_get(state), self._predict_rep
+            )
         flip_modes = list(self.cfg.flip_test or [])
         results = []
         mesh_n = (
@@ -325,6 +338,8 @@ class Runner:
                     det = _unflip_dets(det, mode, images.shape[2], images.shape[1])
                 for i, meta in enumerate(metas):
                     results.append(({k: v[i] for k, v in det.items()}, meta))
+        if raw_state is not None:
+            self.nnx.update(self.model, raw_state)
         return results
 
     def val(self):

@@ -16,3 +16,32 @@ import jax  # noqa: E402
 # once the plugin hook has run).
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+import pytest  # noqa: E402
+
+# Hot-loop tier: `pytest -m quick` runs the ops oracles plus one e2e in
+# <10 min so regressions are caught early; the full matrix (golden
+# trajectories, overfit-to-mAP, all families) stays in the default run.
+_QUICK_MODULES = {
+    "test_box_iou_rotated",
+    "test_box_convert",
+    "test_nms_rotated",
+    "test_convex",
+    "test_dcn_orn",
+    "test_assign_sample",
+    "test_losses",
+    "test_transforms",
+    "test_converters",
+    "test_devkits",
+    "test_retinanet_e2e",
+}
+_SLOW_MODULES = {"test_golden_loss", "test_overfit_map"}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.module.__name__.rsplit(".", 1)[-1]
+        if mod in _QUICK_MODULES:
+            item.add_marker(pytest.mark.quick)
+        if mod in _SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)

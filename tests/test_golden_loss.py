@@ -82,10 +82,16 @@ MODELS = {
         bbox_head=dict(type="RSDetHead", **_SMALL),
     ),
     "ridet": dict(
-        type="RotatedRetinaNet", backbone=_R18, neck=_FPN,
-        bbox_head=dict(type="RotatedRetinaHead",
-                       loss_bbox=dict(type="ridet", loss_weight=2.0),
-                       **_SMALL),
+        # reference recipe: RIDet rides S2ANet's ODM stage with decoded
+        # boxes (configs/s2anet/s2anet_r50_fpn_1x_dota_ridet.py) — on raw
+        # retina anchors at lr=5e-3 the loss diverges within 11 steps
+        type="S2ANet", backbone=_R18, neck=_FPN,
+        bbox_head=dict(
+            type="S2ANetHead", num_classes=16, in_channels=32,
+            feat_channels=32, stacked_convs=1,
+            loss_odm_bbox=dict(type="ridet", beta=1.0, loss_weight=1.0),
+            test_cfg=dict(nms_pre=64, max_per_img=8),
+        ),
     ),
     "ld": dict(
         type="KnowledgeDistillationSingleStageDetector", backbone=_R18,
