@@ -50,7 +50,7 @@ def _timeit_train(step, state, images, targets, n):
     return (time.perf_counter() - t0) / n, state
 
 
-def _train_fn(model, opt, graphdef, preprocess=None):
+def _train_fn(model, opt, graphdef, preprocess=None, augment=None):
     import jax
     from flax import nnx
     from functools import partial
@@ -58,6 +58,10 @@ def _train_fn(model, opt, graphdef, preprocess=None):
     @partial(jax.jit, donate_argnums=(0,))
     def step(state, images, targets):
         m, o = nnx.merge(graphdef, state)
+        if augment is not None:
+            images, targets = augment(
+                images, targets, jax.random.PRNGKey(0)
+            )
         if preprocess is not None:
             images = preprocess(images)
 
@@ -159,25 +163,32 @@ def bench_loader_fed(n_tiles=24, B=4):
         version="1", annotations_file=ann, images_dir=img_dir,
         transforms=[
             dict(type="RotatedResize", min_size=1024, max_size=1024),
-            dict(type="RotatedRandomFlip", prob=0.5),
+            # flip runs device-side (make_device_augmenter below)
         ],
         image_size=(1024, 1024), max_gt=32, batch_size=B, shuffle=True,
         # uint8 batches + device-side normalize: 4x less host->device
         # transfer (jdet_tpu.parallel.spmd.make_device_normalizer)
         image_dtype="uint8",
+        # pre-decoded tile cache: epoch 0 decodes, epoch 1+ reads memmap
+        image_cache="auto",
         # thread prefetch: spawn-pool startup (~20s of worker re-imports)
         # would dominate this short benchmark on a 1-core host; real
         # multi-core training hosts set num_workers>1
         num_workers=0,
     )
-    from jdet_tpu.parallel.spmd import make_device_normalizer
+    from jdet_tpu.parallel.spmd import (
+        make_device_augmenter,
+        make_device_normalizer,
+    )
 
     normalize = make_device_normalizer([123.675, 116.28, 103.53],
                                        [58.395, 57.12, 57.375])
+    augment = make_device_augmenter(flip_h=0.5)
     model = _build_model(depth=50, size=1024)
     opt = nnx.Optimizer(model, optax.sgd(0.01, momentum=0.9), wrt=nnx.Param)
     graphdef, state = nnx.split((model, opt))
-    step = _train_fn(model, opt, graphdef, preprocess=normalize)
+    step = _train_fn(model, opt, graphdef, preprocess=normalize,
+                     augment=augment)
     # warmup/compile on the first batch
     batch, _ = next(ds.batches(seed=0))
     images = jnp.asarray(batch["images"])

@@ -101,16 +101,25 @@ class Resize(_Base):
         self.keep_ratio = keep_ratio
 
     def _pick_size(self, w, h, rng):
-        min_size = self.min_size[
+        size = self.min_size[
             0 if len(self.min_size) == 1 else int(rng.integers(len(self.min_size)))
         ]
         if not self.keep_ratio:
-            return int(min_size), int(min_size)
-        short, long = min(w, h), max(w, h)
-        scale = min_size / short
-        if self.max_size is not None and long * scale > self.max_size:
-            scale = self.max_size / long
-        return int(round(w * scale)), int(round(h * scale))
+            return int(size), int(size)
+        # size-ratio clamp (reference transforms.py:94-99): the sampled
+        # multi-scale size is clipped to [short/1.5, short*1.5] so extreme
+        # rescales never enter the train distribution
+        short = w if w <= h else h
+        size = int(np.clip(size, int(short / 1.5), int(short * 1.5)))
+        if self.max_size is not None:
+            mn, mx = float(min(w, h)), float(max(w, h))
+            if mx / mn * size > self.max_size:
+                size = int(round(self.max_size * mn / mx))
+        if (w <= h and w == size) or (h <= w and h == size):
+            return int(w), int(h)
+        if w < h:
+            return int(size), int(size * h / w)
+        return int(size * w / h), int(size)
 
     def _resize_boxes(self, target, old_size, new_size):
         ow, oh = old_size

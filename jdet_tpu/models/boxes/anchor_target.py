@@ -181,6 +181,11 @@ def anchor_target_batch(
             out = jax.vmap(lambda b, m, l, k: fn(b, m, l, key=k))(
                 gt_bboxes, gt_mask, gt_labels, keys
             )
-    num_total_pos = out["pos_mask"].sum()
-    num_total_neg = out["neg_mask"].sum()
+    # reference counts max(per-image count, 1) (anchor_target.py:79-80)
+    num_total_pos = jnp.maximum(
+        out["pos_mask"].sum(axis=tuple(range(1, out["pos_mask"].ndim))), 1
+    ).sum()
+    num_total_neg = jnp.maximum(
+        out["neg_mask"].sum(axis=tuple(range(1, out["neg_mask"].ndim))), 1
+    ).sum()
     return out, num_total_pos, num_total_neg

@@ -51,7 +51,12 @@ def build_lr_schedule(
 
     scheduler_type in {StepLR, CosineAnnealingLR, ExpLR, PolyLR, InvLR}
     mirroring lr_scheduler.py:73,197,258,277,287. `milestones` are epochs.
+    The *Group variants (lr_scheduler.py:73,257) share the same decay
+    math — group-specific warmups ride build_group_lr_schedules.
     """
+    scheduler_type = scheduler_type.replace("Group", "")
+    if scheduler_type == "WarmUpLR":
+        scheduler_type = "StepLR"  # warmup-only: no decay
     ms_steps = [int(m * steps_per_epoch) for m in milestones]
 
     def schedule(step):
@@ -78,3 +83,30 @@ def build_lr_schedule(
         )
 
     return schedule
+
+
+def build_group_lr_schedules(base_lr, groups, **common):
+    """Per-parameter-group schedules (`WarmUpLRGroup` /
+    `CosineAnnealingLRGroup`, reference lr_scheduler.py:73-130, 257-274).
+
+    The reference parameterizes warmup type/ratio per optimizer param
+    group (warmup_pg / warmup_ratio_pg / warmup_init_lr_pg); here each
+    group is a dict of overrides over the base schedule kwargs plus an
+    optional `lr_mult`, and carries a `pattern` glob that
+    build_optimizer matches against parameter paths.
+
+    Returns [(pattern, fn(step)->lr), ...].
+    """
+    out = []
+    for g in groups:
+        g = dict(g)
+        pattern = g.pop("pattern", "*")
+        lr_mult = g.pop("lr_mult", 1.0)
+        if "warmup_init_lr" in g:
+            # warmup_init_lr_pg: absolute warmup start lr -> ratio
+            g["warmup_ratio"] = g.pop("warmup_init_lr") / (
+                base_lr * lr_mult
+            )
+        kw = {**common, **g}
+        out.append((pattern, build_lr_schedule(base_lr * lr_mult, **kw)))
+    return out

@@ -68,6 +68,7 @@ def build_optimizer(
     grad_clip=None,
     frozen_stages=None,
     param_groups=None,
+    group_schedules=None,
 ):
     """Build an nnx.Optimizer with the configured optax chain.
 
@@ -129,7 +130,47 @@ def build_optimizer(
         )
         tx = optax.chain(tx, _scale_by_tree(mults))
 
+    if group_schedules:
+        # per-group time-dependent lr (WarmUpLRGroup capability,
+        # reference lr_scheduler.py:73-130): the inner optimizer applies
+        # the base schedule; this transform rescales each parameter's
+        # update by group_lr(step)/base_lr(step), first matching pattern
+        # wins, unmatched params keep the base schedule.
+        params = nnx.state(model, nnx.Param)
+
+        def group_idx(path, leaf):
+            for i, (pattern, _) in enumerate(group_schedules):
+                if fnmatch.fnmatch(path, pattern):
+                    return i
+            return len(group_schedules)  # base
+
+        idx_tree = make_param_mask(params, group_idx)
+        fns = [s for _, s in group_schedules]
+
+        def ratio_fn(step):
+            base = jax.numpy.maximum(lr_schedule(step), 1e-12)
+            rs = [s(step) / base for s in fns] + [jax.numpy.asarray(1.0)]
+            return jax.numpy.stack(
+                [jax.numpy.asarray(r, jax.numpy.float32) for r in rs]
+            )
+
+        tx = optax.chain(tx, _scale_by_group_schedule(idx_tree, ratio_fn))
+
     return nnx.Optimizer(model, tx, wrt=nnx.Param)
+
+
+def _scale_by_group_schedule(idx_tree, ratio_fn):
+    """Time-dependent per-group update scaling (own step counter)."""
+
+    def init(params):
+        return {"count": jax.numpy.zeros((), jax.numpy.int32)}
+
+    def update(updates, state, params=None, **extra):
+        r = ratio_fn(state["count"])
+        scaled = jax.tree.map(lambda u, g: u * r[g], updates, idx_tree)
+        return scaled, {"count": state["count"] + 1}
+
+    return optax.GradientTransformationExtraArgs(init, update)
 
 
 def _scale_by_tree(mults):

@@ -88,8 +88,98 @@ def make_device_normalizer(mean, std, to_bgr=False):
     return normalize
 
 
+def make_device_augmenter(
+    flip_h=0.0,
+    flip_v=0.0,
+    rot90=0.0,
+    normalize=None,
+):
+    """Device-side geometric augmentation on uint8 batches.
+
+    The reference runs flip/rot90 per-sample in loader workers
+    (data/transforms.py:32-77, 390-441); on a 1-core host that starves
+    the chip. Flips and k*90 rotations are pure index ops — moved inside
+    the jitted train step they are HBM-bandwidth noise, and the matching
+    gt-rbox updates are (B, K, 5) elementwise math. Host keeps only
+    decode+resize.
+
+    Returns aug(images, targets, key) -> (images_f32, targets). The box
+    math mirrors RotatedRandomFlip/RandomRotateAug exactly (same
+    norm_angle convention), assuming the static square canvas.
+    """
+    from ..ops.box_convert import norm_angle
+
+    def aug(images, targets, key):
+        B, H, W, _ = images.shape
+        gb = targets["gt_bboxes"]
+        kh, kv, kr = jax.random.split(key, 3)
+
+        if flip_h:
+            do = jax.random.uniform(kh, (B,)) < flip_h
+            images = jnp.where(do[:, None, None, None],
+                               images[:, :, ::-1], images)
+            fb = jnp.stack([
+                W - gb[..., 0] - 1, gb[..., 1], gb[..., 2], gb[..., 3],
+                norm_angle(jnp.pi - gb[..., 4]),
+            ], -1)
+            gb = jnp.where(do[:, None, None], fb, gb)
+        if flip_v:
+            do = jax.random.uniform(kv, (B,)) < flip_v
+            images = jnp.where(do[:, None, None, None],
+                               images[:, ::-1], images)
+            fb = jnp.stack([
+                gb[..., 0], H - gb[..., 1] - 1, gb[..., 2], gb[..., 3],
+                norm_angle(-gb[..., 4]),
+            ], -1)
+            gb = jnp.where(do[:, None, None], fb, gb)
+        if rot90:
+            assert H == W, "rot90 device augment needs a square canvas"
+            u = jax.random.uniform(kr, (B,))
+            k_rot = jnp.where(
+                u < rot90,
+                jax.random.randint(jax.random.fold_in(kr, 1), (B,), 0, 4),
+                0,
+            )
+            # all 4 rotations (index ops), per-sample select
+            r1 = jnp.rot90(images, 1, (1, 2))
+            r2 = jnp.rot90(images, 2, (1, 2))
+            r3 = jnp.rot90(images, 3, (1, 2))
+            sel = k_rot[:, None, None, None]
+            images = jnp.where(
+                sel == 1, r1, jnp.where(sel == 2, r2,
+                                        jnp.where(sel == 3, r3, images))
+            )
+            # boxes: rotate centers by -k*90deg about the canvas center
+            # (rot90 is CCW in array space = CW in y-down image coords,
+            # transforms.py RandomRotateAug)
+            theta = -k_rot.astype(jnp.float32) * (jnp.pi / 2)
+            c = jnp.cos(theta)[:, None]
+            s = jnp.sin(theta)[:, None]
+            cx0 = (W - 1) / 2.0
+            cy0 = (H - 1) / 2.0
+            x = gb[..., 0] - cx0
+            y = gb[..., 1] - cy0
+            rb = jnp.stack([
+                c * x - s * y + cx0,
+                s * x + c * y + cy0,
+                gb[..., 2], gb[..., 3],
+                norm_angle(gb[..., 4] + theta[:, None]),
+            ], -1)
+            gb = jnp.where((k_rot > 0)[:, None, None], rb, gb)
+
+        targets = dict(targets)
+        targets["gt_bboxes"] = gb
+        x = images.astype(jnp.float32) if images.dtype != jnp.float32 \
+            else images
+        if normalize is not None:
+            x = normalize(x)
+        return x, targets
+
+    return aug
+
+
 def build_train_step(model, optimizer, mesh, with_key=True,
-                     preprocess=None):
+                     preprocess=None, augment=None):
     """Build the jit-compiled data-parallel train step.
 
     Sharding layout (reference DP semantics, Jittor-MPI grad all-reduce):
@@ -121,6 +211,10 @@ def build_train_step(model, optimizer, mesh, with_key=True,
     def step(state, images, targets, root_key, it):
         m, opt = nnx.merge(graphdef, state)
         key = jax.random.fold_in(root_key, it)
+        if augment is not None:
+            images, targets = augment(
+                images, targets, jax.random.fold_in(key, 7)
+            )
         if preprocess is not None:
             images = preprocess(images)
 

@@ -106,6 +106,27 @@ class Runner:
             min_lr=scfg.get("min_lr", 0.0),
             power=scfg.get("power", 1.0),
         )
+        group_schedules = None
+        if scfg.get("groups"):
+            # WarmUpLRGroup / CosineAnnealingLRGroup capability
+            # (reference lr_scheduler.py:73,257): per-group warmup/lr
+            from ..optim.lr_scheduler import build_group_lr_schedules
+
+            common = dict(
+                scheduler_type=scfg.get("type", "StepLR"),
+                milestones=scfg.get("milestones", ()),
+                gamma=scfg.get("gamma", 0.1),
+                steps_per_epoch=steps_per_epoch,
+                max_steps=self.max_iter,
+                warmup=scfg.get("warmup"),
+                warmup_iters=scfg.get("warmup_iters", 500),
+                warmup_ratio=scfg.get("warmup_ratio", 1.0 / 3),
+                min_lr=scfg.get("min_lr", 0.0),
+                power=scfg.get("power", 1.0),
+            )
+            group_schedules = build_group_lr_schedules(
+                ocfg.get("lr", 0.01), scfg["groups"], **common
+            )
         self.optimizer = build_optimizer(
             self.model,
             opt_type=ocfg.get("type", "SGD"),
@@ -115,6 +136,7 @@ class Runner:
             grad_clip=ocfg.get("grad_clip"),
             frozen_stages=_plain(cfg.model).get("backbone", {}).get("frozen_stages"),
             param_groups=ocfg.get("param_groups"),
+            group_schedules=group_schedules,
         )
 
         # 1-D data mesh over all devices that evenly divide the train batch
@@ -154,6 +176,20 @@ class Runner:
             )
         else:
             self._preprocess = None
+        # optional device-side geometric augmentation (flip/rot90 moved
+        # into the jitted step; host keeps decode+resize):
+        #   device_augment = dict(flip_h=0.5, flip_v=0.0, rot90=0.0)
+        da = cfg.device_augment
+        if da:
+            from ..parallel.spmd import make_device_augmenter
+
+            self._augment = make_device_augmenter(
+                flip_h=da.get("flip_h", 0.0),
+                flip_v=da.get("flip_v", 0.0),
+                rot90=da.get("rot90", 0.0),
+            )
+        else:
+            self._augment = None
         # optional model EMA (reference ModelEMAWraper, networks/yolo.py:57-91)
         ema_cfg = cfg.ema
         self._ema_cfg = (
@@ -171,6 +207,7 @@ class Runner:
         graphdef, state, step = build_train_step(
             self.model, self.optimizer, self.mesh,
             preprocess=self._preprocess,
+            augment=self._augment,
         )
         self._graphdef = graphdef
         self._state = state

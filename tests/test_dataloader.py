@@ -113,3 +113,37 @@ def test_uint8_device_normalize_matches_host_normalize(tiny_ds_root):
     norm = make_device_normalizer(mean, std)
     on_device = np.asarray(norm(jnp.asarray(bu["images"])))
     np.testing.assert_allclose(on_device, bh["images"], atol=1e-5)
+
+
+def test_image_cache_roundtrip(tmp_path):
+    """Pre-decoded tile cache: epoch 0 decodes + fills the memmap, later
+    reads come from it byte-identically (custom.py image_cache)."""
+    import cv2
+    import pickle
+    from jdet_tpu.data.custom import CustomDataset
+
+    img_dir = tmp_path / "images"
+    img_dir.mkdir()
+    rng = np.random.RandomState(0)
+    infos = []
+    for i in range(3):
+        img = rng.randint(0, 255, (64, 64, 3), dtype=np.uint8)
+        cv2.imwrite(str(img_dir / f"t{i}.png"), img)
+        infos.append({"filename": f"t{i}.png", "width": 64, "height": 64,
+                      "ann": {"bboxes": np.array([[32, 32, 10, 6, 0.2]],
+                                                 np.float32),
+                              "labels": np.array([1], np.int32)}})
+    ann = str(tmp_path / "labels.pkl")
+    with open(ann, "wb") as f:
+        pickle.dump(infos, f)
+    ds = CustomDataset(annotations_file=ann, images_dir=str(img_dir),
+                       image_size=(64, 64), batch_size=1, num_workers=0,
+                       image_cache="auto")
+    first = [ds.load_sample(i)[0].copy() for i in range(3)]
+    assert ds._cache_valid.sum() == 3
+    # poison the files: reads must now come from the cache
+    for i in range(3):
+        (img_dir / f"t{i}.png").unlink()
+    again = [ds.load_sample(i)[0] for i in range(3)]
+    for a, b in zip(first, again):
+        np.testing.assert_array_equal(a, b)

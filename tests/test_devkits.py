@@ -281,3 +281,47 @@ def test_draw_polys():
     out2 = draw_polys(img, polys, np.array([0.1]), np.array([2]),
                       ["a", "b", "c"], score_thr=0.5)
     assert not (out2 > 0).any()
+
+
+def test_coco_protocol_full_metrics():
+    """AP75 / area-range / AR semantics of the full COCO evaluator
+    (reference pycocotools protocol, data/coco.py:203-391)."""
+    from jdet_tpu.data.coco import coco_map
+
+    # one small gt (16x16=256 < 32^2) and one large gt (128x128)
+    gt = {0: (np.array([[0, 0, 16, 16], [200, 200, 328, 328]], float),
+              np.array([1, 1]))}
+    # det A: perfect on the small gt; det B: IoU ~0.6 on the large gt
+    detA = [0, 0, 16, 16]
+    detB = [200, 200, 277, 328]  # w 77 vs 128 -> IoU 77/128 ~ 0.6
+    dets = {0: (np.array([detA, detB], float),
+                np.array([0.9, 0.8]), np.array([0, 0]))}
+    out = coco_map(dets, gt, 1)
+    # AP50: both matched -> 1.0. AP75: only det A (IoU 1.0) counts; det B
+    # is a false positive at 0.75 -> precision drops after recall 0.5
+    assert out["mAP50"] == pytest.approx(1.0, abs=1e-6)
+    assert 0.4 < out["mAP75"] < 0.6
+    # small range: only the small gt counts, det A matches it -> 1.0
+    assert out["mAP_small"] == pytest.approx(1.0, abs=1e-6)
+    # large range: only large gt; det A unmatched but outside range ->
+    # ignored, det B matches at IoU .6 (so AP at thr<=.6 is 1, above 0)
+    assert 0.2 < out["mAP_large"] < 0.7
+    # AR@1: one det per image -> only det A (highest score) participates;
+    # recall = matched/2 averaged over thresholds
+    assert 0.2 <= out["AR@1"] <= 0.5
+    assert out["AR@100"] >= out["AR@10"] >= out["AR@1"]
+
+
+def test_coco_ignored_gt_absorbs_match_without_fp():
+    """A det matching only an out-of-range gt is ignored, not a FP."""
+    from jdet_tpu.data.coco import coco_map
+
+    gt = {0: (np.array([[0, 0, 16, 16], [100, 100, 228, 228]], float),
+              np.array([1, 1]))}
+    dets = {0: (np.array([[0, 0, 16, 16], [100, 100, 228, 228]], float),
+                np.array([0.9, 0.8]), np.array([0, 0]))}
+    out = coco_map(dets, gt, 1)
+    # large-range eval: small det would be a FP if not ignored; since it
+    # is unmatched AND outside the range it is ignored -> AP_large = 1.0
+    assert out["mAP_large"] == pytest.approx(1.0, abs=1e-6)
+    assert out["mAP_small"] == pytest.approx(1.0, abs=1e-6)
