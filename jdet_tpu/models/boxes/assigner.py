@@ -147,16 +147,28 @@ def max_iou_assign_rotated(
     ignore_iof_thr=-1,
     anchor_mask=None,
     iou_chunk=512,
+    iou_calculator="rotated",
 ):
     """MaxIoUAssignerRbbox (assigner.py:222-277) in masked form.
 
     anchors (n, 5) rboxes; gt_bboxes (k, 5) padded; gt_mask (k,) bool.
+
+    iou_calculator="fake_rbb" assigns on the minimum circumscribed hbbs of
+    both sides (reference FakeBboxOverlaps2D_rotated,
+    models/boxes/iou_calculator.py:81-106) — the rotated_retinanet_hbb
+    recipe.
     """
     from ...ops.pallas_iou import park_masked_boxes
 
-    overlaps = box_iou_rotated(
-        park_masked_boxes(gt_bboxes, gt_mask), anchors, chunk=iou_chunk
-    )
+    if iou_calculator == "fake_rbb":
+        overlaps = hbb_overlaps(
+            rbox_to_hbox(park_masked_boxes(gt_bboxes, gt_mask)),
+            rbox_to_hbox(anchors),
+        )
+    else:
+        overlaps = box_iou_rotated(
+            park_masked_boxes(gt_bboxes, gt_mask), anchors, chunk=iou_chunk
+        )
     ignore_mask = None
     if (
         ignore_iof_thr > 0

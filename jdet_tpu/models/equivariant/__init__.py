@@ -1,4 +1,4 @@
 from .econv import (
     REConv2d, REConv2dLift, InnerBatchNorm, N_ORIENT,
-    rotation_interp_matrix,
+    cache_expanded_weights, rotation_interp_matrix,
 )

@@ -36,7 +36,10 @@ def bilinear_sample_nhwc(x, sy, sx):
     xqt = _corner_table(x).reshape(B, (H + 1) * (W + 1), 4 * C)
     g = jnp.take_along_axis(xqt, idx.reshape(B, -1)[..., None], axis=1)
     g = g.reshape(*idx.shape, 4, C)
-    return jnp.einsum("...cf,...c->...f", g, cw)
+    # broadcast-mul + sum (NOT einsum): XLA lowers the (.., 4, C) x (.., 4)
+    # contraction as batched 4xC MXU dots behind a layout-transposing copy;
+    # the elementwise form fuses into the gather consumer
+    return (g * cw[..., None].astype(g.dtype)).sum(-2)
 
 
 def corner_weights_and_rows(sy, sx, H, W, dtype):
@@ -141,7 +144,8 @@ def deform_conv2d(
     xqt = _corner_table(x).reshape(B, (H + 1) * (W + 1), 4 * C)
     g = jnp.take_along_axis(xqt, idx.reshape(B, -1)[..., None], axis=1)
     g = g.reshape(B, Ho, Wo, kh * kw, 4, C)
-    cols = jnp.einsum("bhwkcf,bhwkc->bhwkf", g, cw).reshape(
+    # elementwise corner weighting (see bilinear_sample_nhwc note)
+    cols = (g * cw[..., None].astype(g.dtype)).sum(-2).reshape(
         B, Ho, Wo, kh * kw * C
     )
     w2 = weight.reshape(kh * kw * C, cout).astype(cols.dtype)

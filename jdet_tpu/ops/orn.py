@@ -80,6 +80,12 @@ def rotate_arf(weight, src_indices):
     return rot.reshape(kh, kw, I * nOr, O * nRot)
 
 
+class ExpandedWeight(nnx.Variable):
+    """Non-Param buffer holding a precomputed weight expansion (ARF /
+    steerable). Never touched by optimizers; recomputed from the base
+    weight by `models.equivariant.cache_expanded_weights`."""
+
+
 class ORConv2d(nnx.Module):
     """Oriented-response conv (reference ORConv2d, orn.py:620-698)."""
 
@@ -118,9 +124,20 @@ class ORConv2d(nnx.Module):
         self._src = arf_gather_indices(
             self.n_orientation, self.n_rotation, kernel_size
         )
+        # inference-time cache: filled by
+        # models.equivariant.cache_expanded_weights so eval jits consume
+        # the expanded HWIO weight as a plain input instead of re-running
+        # the ARF expansion every forward
+        self.wexp = ExpandedWeight(jnp.zeros((0,), jnp.float32))
+        self.cache_on = False
+
+    def _expand(self):
+        return rotate_arf(self.weight.value, self._src)
 
     def __call__(self, x):
-        w = rotate_arf(self.weight.value, self._src).astype(x.dtype)
+        w = (self.wexp.value if self.cache_on else self._expand()).astype(
+            x.dtype
+        )
         out = jax.lax.conv_general_dilated(
             x,
             w,

@@ -28,20 +28,27 @@ def _orientation_shift(out, rois, n_orientation):
     theta = rois[..., 4]  # (B, R)
     t = theta / (2 * jnp.pi / n_orientation)
     i0 = jnp.floor(t)
-    frac = (t - i0)[..., None, None, None, None]
-    base = jnp.arange(n_orientation)
+    frac = t - i0  # (B, R) in [0, 1)
 
-    def shift(k):
-        idx = (base[None, None] + k[..., None]).astype(jnp.int32) % n_orientation
-        # gather along the orientation axis per (B, R)
-        return jnp.take_along_axis(
-            x, idx[:, :, None, None, None, :], axis=5
+    # There are only n_orientation distinct circular shifts, so instead of
+    # per-RoI element gathers on the minor axis (slow on TPU: element-level
+    # gather of the whole (B,R,P,P,C) tensor, twice), take a weighted sum
+    # of the n rolls. The lo/hi linear interpolation folds into the
+    # per-RoI weights (at most 2 of the n are nonzero).
+    lo_s = jnp.mod(i0, n_orientation).astype(jnp.int32)
+    hi_s = jnp.mod(i0 + 1, n_orientation).astype(jnp.int32)
+    s = jnp.arange(n_orientation)
+    w = (1 - frac)[..., None] * (s == lo_s[..., None]) + frac[..., None] * (
+        s == hi_s[..., None]
+    )  # (B, R, n)
+    w = w.astype(out.dtype)
+    acc = 0.0
+    for k in range(n_orientation):
+        # shift(k)[..., j] = x[..., (j + k) % n] == roll(x, -k)
+        acc = acc + w[:, :, k, None, None, None, None] * jnp.roll(
+            x, -k, axis=-1
         )
-
-    lo = shift(i0)
-    hi = shift(i0 + 1)
-    out = (1 - frac) * lo + frac * hi
-    return out.reshape(B, R, P, P, C)
+    return acc.reshape(B, R, P, P, C)
 
 
 def riroi_align(

@@ -173,7 +173,8 @@ def roi_align_rotated_multilevel(
     g = jnp.take_along_axis(
         table, idx.reshape(B, -1)[..., None], axis=1
     ).reshape(*idx.shape, 4, C)
-    out = jnp.einsum("...cf,...c->...f", g, cw)
+    # elementwise corner weighting (see deform_conv.bilinear_sample_nhwc)
+    out = (g * cw[..., None].astype(g.dtype)).sum(-2)
     out = out.mean(-2)  # average the G samples per bin
     if valid is not None:
         out = out * valid[..., None, None, None]

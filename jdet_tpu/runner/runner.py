@@ -329,6 +329,12 @@ class Runner:
             # checkpoint EMA weights as the 'model' payload
             _, raw_state = self.nnx.split(self.model)
             self.nnx.update(self.model, self.ema.ema)
+        # fill the ARF/steerable expansion caches from the current weights
+        # (no-op for models without equivariant/OR convs); must precede
+        # _build_predict — the first fill flips a static flag
+        from ..models.equivariant import cache_expanded_weights
+
+        cache_expanded_weights(self.model)
         if self._predict_fn is None:
             self._build_predict()
         _, state = self.nnx.split(self.model)

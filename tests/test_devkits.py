@@ -133,6 +133,60 @@ def test_split_and_convert_roundtrip(tmp_path):
     assert set(np.unique(r["ann"]["labels"])) <= {1, 2}
 
 
+def test_multiscale_split_and_merge(tmp_path):
+    """ms pipeline smoke (s2anet 79.72 recipe, reference README.md:102):
+    tiling at rates 0.5/1.0/1.5 writes rate-tagged tiles, and the merge
+    step divides tile coords by the rate so all scales land in original
+    image space."""
+    import cv2
+
+    from jdet_tpu.data.devkits.tiling import process
+
+    src = tmp_path / "src"
+    (src / "images").mkdir(parents=True)
+    (src / "labelTxt").mkdir(parents=True)
+    img = (rng.rand(900, 1100, 3) * 255).astype(np.uint8)
+    cv2.imwrite(str(src / "images" / "P07.png"), img)
+    poly = rect_poly(300, 260, 120, 60)
+    with open(src / "labelTxt" / "P07.txt", "w") as f:
+        f.write(" ".join(str(float(v)) for v in poly) + " plane 0\n")
+
+    out = tmp_path / "tiled"
+    tiles = process(str(src / "images"), str(src / "labelTxt"), str(out),
+                    subsize=512, gap=128, rates=[0.5, 1.0, 1.5],
+                    num_workers=2)
+    seen_rates = {parse_tile_name(t)[1] for t in tiles}
+    assert seen_rates == {0.5, 1.0, 1.5}
+    # every rate's tile grid covers the rescaled image
+    for t in tiles:
+        im = cv2.imread(str(out / "images" / (t + ".png")))
+        assert im.shape == (512, 512, 3)
+
+    # merge: the same object detected on a 0.5x tile and a 1.0x tile must
+    # land on the same original coords and dedup to one detection
+    det_half = {  # 0.5x tile at offset (0, 0): poly coords are halved
+        "polys": (poly * 0.5)[None].astype(np.float32),
+        "scores": np.array([0.7], np.float32),
+        "labels": np.array([0]),
+        "valid": np.array([True]),
+    }
+    det_full = {
+        "polys": poly[None].astype(np.float32),
+        "scores": np.array([0.9], np.float32),
+        "labels": np.array([0]),
+        "valid": np.array([True]),
+    }
+    merged = merge_results(
+        [(det_half, {"filename": "P07__0.5__0___0.png"}),
+         (det_full, {"filename": "P07__1.0__0___0.png"})],
+        ["plane"], iou_thr=0.3,
+    )
+    dets = merged["P07"]["plane"]
+    assert dets.shape == (1, 9)
+    assert abs(dets[0, 8] - 0.9) < 1e-6
+    np.testing.assert_allclose(dets[0, :8], poly, atol=1e-2)
+
+
 def test_parse_tile_name():
     assert parse_tile_name("P0001__1.0__512___824") == ("P0001", 1.0, 512, 824)
     assert parse_tile_name("P00__05__1.5__0___0") == ("P00__05", 1.5, 0, 0)

@@ -57,10 +57,48 @@ FAMILIES = {
                        fc_out_channels=64, test_cfg=dict(max_per_img=32,
                                                          score_thr=0.05)),
     ),
+    "gliding": dict(
+        type="GlidingVertex", backbone=_R18,
+        neck=dict(type="FPN", out_channels=32, num_outs=5),
+        rpn_head=dict(type="GlidingRPNHead", in_channels=32,
+                      feat_channels=32, nms_pre=128, nms_post=64),
+        bbox_head=dict(type="GlidingHead", num_classes=15, in_channels=32,
+                       fc_out_channels=64, test_cfg=dict(max_per_img=32,
+                                                         score_thr=0.05)),
+    ),
+    "roi_transformer": dict(
+        type="RoITransformer", backbone=_R18,
+        neck=dict(type="FPN", out_channels=32, num_outs=5),
+        rpn_head=dict(type="RPNHead", in_channels=32, feat_channels=32,
+                      nms_pre=128, nms_post=64),
+        bbox_head=dict(type="RoITransHead", num_classes=15, in_channels=32,
+                       fc_out_channels=64, test_cfg=dict(max_per_img=32,
+                                                         score_thr=0.05)),
+    ),
+    "fcos": dict(
+        type="FCOS", backbone=_R18,
+        neck=dict(type="FPN", out_channels=32, num_outs=5, start_level=1,
+                  add_extra_convs="on_output", relu_before_extra_convs=True),
+        bbox_head=dict(type="FCOSHead", num_classes=15, in_channels=32,
+                       feat_channels=32, stacked_convs=1,
+                       # 128px tiles: keep every level's regress range
+                       # reachable by the 3 synthetic object scales
+                       test_cfg=_TEST),
+    ),
+    "reppoints": dict(
+        type="RotatedRepPoints", backbone=_R18,
+        neck=dict(type="FPN", out_channels=32, num_outs=5, start_level=1,
+                  add_extra_convs="on_input"),
+        bbox_head=dict(type="RotatedRepPointsHead", num_classes=15,
+                       in_channels=32, feat_channels=32,
+                       point_feat_channels=32, stacked_convs=1,
+                       test_cfg=_TEST),
+    ),
 }
 
 STEPS = {"retinanet": 400, "s2anet": 400, "oriented_rcnn": 400,
-         "redet": 400}
+         "redet": 400, "gliding": 500, "roi_transformer": 500,
+         "fcos": 500, "reppoints": 600}
 N_CLASSES = 4  # synthetic tiles only use DOTA classes 1..4
 
 
@@ -113,3 +151,77 @@ def test_overfit_reaches_map(tiles, name):
                and 1 <= int(k.split("/")[1].split("_")[0]) <= N_CLASSES]
     m = float(np.mean(present))
     assert m >= 0.8, (name, metrics)
+
+
+def test_yolo_overfit_reaches_map(tmp_path):
+    """YOLO closure: train on 2 deterministic tiles, score via the
+    dataset's COCO-protocol evaluate (train -> decode -> NMS -> eval)."""
+    import cv2
+    import jax.numpy as jnp
+    import optax
+    from flax import nnx
+
+    from jdet_tpu.data.yolo import YoloDataset
+    from jdet_tpu.models.builder import build_detector
+
+    root = str(tmp_path)
+    os.makedirs(f"{root}/images", exist_ok=True)
+    os.makedirs(f"{root}/labels", exist_ok=True)
+    S = 128
+    boxes = {  # per image: (cls0, x1, y1, x2, y2) in pixels
+        0: [(0, 20, 20, 60, 56), (1, 70, 70, 120, 100)],
+        1: [(2, 30, 60, 90, 100), (0, 80, 10, 120, 40)],
+    }
+    colors = {0: (230, 50, 50), 1: (50, 230, 50), 2: (50, 50, 230)}
+    for i, bl in boxes.items():
+        img = np.full((S, S, 3), 40, np.uint8)
+        lines = []
+        for c, x1, y1, x2, y2 in bl:
+            img[y1:y2, x1:x2] = colors[c]
+            lines.append(
+                f"{c} {(x1 + x2) / 2 / S} {(y1 + y2) / 2 / S} "
+                f"{(x2 - x1) / S} {(y2 - y1) / S}"
+            )
+        cv2.imwrite(f"{root}/images/im{i}.jpg", img)
+        with open(f"{root}/labels/im{i}.txt", "w") as f:
+            f.write("\n".join(lines))
+
+    ds = YoloDataset(images_dir=f"{root}/images",
+                     labels_dir=f"{root}/labels", img_size=S, batch_size=2,
+                     augment=False, mosaic=False, max_gt=8, drop_last=False,
+                     shuffle=False, classes=["a", "b", "c"])
+    model = build_detector(dict(type="YOLO", nc=3, imgsz=S), seed=0)
+    opt = nnx.Optimizer(model, optax.adam(1e-3), wrt=nnx.Param)
+    graphdef, state = nnx.split((model, opt))
+    batch, metas = next(ds.batches())
+    images = jnp.asarray(batch["images"])
+    targets = {k: jnp.asarray(v) for k, v in batch["targets"].items()}
+
+    import jax
+
+    @jax.jit
+    def step(state):
+        mm, oo = nnx.merge(graphdef, state)
+
+        def lf(mm):
+            losses = mm.loss(images, targets)
+            return sum(losses.values())
+
+        loss, grads = nnx.value_and_grad(lf)(mm)
+        oo.update(mm, grads)
+        _, new_state = nnx.split((mm, oo))
+        return new_state, loss
+
+    for _ in range(400):
+        state, loss = step(state)
+    assert np.isfinite(float(loss))
+    nnx.update((model, opt), state)
+
+    det = model.predict(images)
+    results = []
+    for b, meta in enumerate(metas):
+        results.append((
+            {k: np.asarray(v[b]) for k, v in det.items()}, meta
+        ))
+    metrics = ds.evaluate(results)
+    assert metrics["eval/coco_mAP50"] >= 0.8, metrics

@@ -122,3 +122,41 @@ def test_redet_end_to_end():
         assert np.isfinite(float(v)), (k, float(v))
     det = m.predict(images)
     assert det["polys"].shape == (1, 16, 8)
+
+
+def test_cache_expanded_weights_exact():
+    """Inference-time expansion cache: cached predict is bit-identical to
+    the live expansion path, and disabling restores it."""
+    from flax import nnx
+
+    from jdet_tpu.models.equivariant import (
+        REConv2d,
+        REConv2dLift,
+        cache_expanded_weights,
+    )
+    from jdet_tpu.ops.orn import ORConv2d
+
+    rngs = nnx.Rngs(0)
+
+    class M(nnx.Module):
+        def __init__(self):
+            self.a = REConv2dLift(3, 4, 7, stride=2, rngs=rngs)
+            self.b = REConv2d(4, 8, 3, rngs=rngs)
+            self.c = ORConv2d(64, 8, 3, arf_config=(8, 8), rngs=rngs)
+
+        def __call__(self, x):
+            return self.c(self.b(self.a(x)))
+
+    m = M()
+    x = jnp.asarray(rng.rand(2, 32, 32, 3).astype(np.float32))
+    y0 = m(x)
+    assert cache_expanded_weights(m) == 3
+    gd, st = nnx.split(m)
+
+    @jax.jit
+    def pred(st, x):
+        return nnx.merge(gd, st)(x)
+
+    np.testing.assert_array_equal(np.asarray(pred(st, x)), np.asarray(y0))
+    cache_expanded_weights(m, enable=False)
+    np.testing.assert_array_equal(np.asarray(m(x)), np.asarray(y0))
