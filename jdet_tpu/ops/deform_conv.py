@@ -31,15 +31,18 @@ def bilinear_sample_nhwc(x, sy, sx):
     row of the corner table (`corner_weights_and_rows`) — 4x fewer gather
     rows than per-corner gathers, which is what TPU gather cost tracks.
     """
+    from .pallas_gather import gather_weighted_rows
+
     B, H, W, C = x.shape
     cw, idx = corner_weights_and_rows(sy, sx, H, W, x.dtype)
-    xqt = _corner_table(x).reshape(B, (H + 1) * (W + 1), 4 * C)
-    g = jnp.take_along_axis(xqt, idx.reshape(B, -1)[..., None], axis=1)
-    g = g.reshape(*idx.shape, 4, C)
-    # broadcast-mul + sum (NOT einsum): XLA lowers the (.., 4, C) x (.., 4)
-    # contraction as batched 4xC MXU dots behind a layout-transposing copy;
-    # the elementwise form fuses into the gather consumer
-    return (g * cw[..., None].astype(g.dtype)).sum(-2)
+    T = (H + 1) * (W + 1)
+    xqt = _corner_table(x).reshape(B * T, 4 * C)
+    boff = jnp.arange(B, dtype=jnp.int32).reshape(
+        (B,) + (1,) * (idx.ndim - 1)
+    )
+    rows = (idx + boff * T).reshape(-1)
+    out = gather_weighted_rows(xqt, rows, cw.reshape(-1, 4))
+    return out.reshape(*idx.shape, C)
 
 
 def corner_weights_and_rows(sy, sx, H, W, dtype):
@@ -136,18 +139,21 @@ def deform_conv2d(
     sy = base_y[None] + offsets[..., 0]  # (B, Ho, Wo, kk)
     sx = base_x[None] + offsets[..., 1]
 
+    from .pallas_gather import gather_weighted_rows
+
     cw, idx = corner_weights_and_rows(sy, sx, H, W, x.dtype)
     # cw (B, Ho, Wo, kk, 4); idx (B, Ho, Wo, kk)
     if mask is not None:
         cw = cw * mask[..., None].astype(cw.dtype)
 
-    xqt = _corner_table(x).reshape(B, (H + 1) * (W + 1), 4 * C)
-    g = jnp.take_along_axis(xqt, idx.reshape(B, -1)[..., None], axis=1)
-    g = g.reshape(B, Ho, Wo, kh * kw, 4, C)
-    # elementwise corner weighting (see bilinear_sample_nhwc note)
-    cols = (g * cw[..., None].astype(g.dtype)).sum(-2).reshape(
-        B, Ho, Wo, kh * kw * C
-    )
+    T = (H + 1) * (W + 1)
+    xqt = _corner_table(x).reshape(B * T, 4 * C)
+    rows = (idx + jnp.arange(B, dtype=jnp.int32)[:, None, None, None] * T)
+    # fused gather + corner weighting: the (B, S, 4, C) intermediate of
+    # the naive form (1.2 GB/step at S2ANet scale) never materializes
+    cols = gather_weighted_rows(
+        xqt, rows.reshape(-1), cw.reshape(-1, 4)
+    ).reshape(B, Ho, Wo, kh * kw * C)
     w2 = weight.reshape(kh * kw * C, cout).astype(cols.dtype)
     out = jax.lax.dot_general(
         cols,

@@ -1,0 +1,178 @@
+"""Fused row-gather + corner-weighting Pallas kernel.
+
+The common hot pattern of every bilinear-sampling op in this framework
+(deform_conv / roi_align_rotated / riroi_align) is
+
+    out[s, :] = sum_j w[s, j] * table[idx[s], j*C:(j+1)*C]
+
+where `table` is a corner-packed feature table (one row holds the J=4
+bilinear corners of a sample, see ops/deform_conv.py:_corner_table) and
+`w` the interpolation weights. The reference implements this per-op as
+CUDA im2col kernels (`/root/reference/python/jdet/ops/dcn_v1.py:309`,
+`ops/roi_align_rotated.py:258`); XLA expresses it as gather ->
+materialized (S, J, C) intermediate -> weighted reduce, which at S2ANet
+scale writes+reads a 1.2 GB tensor per step.
+
+This kernel fuses the weighting into the gather: rows are DMA'd from
+HBM into VMEM scratch and reduced to (S, C) in one pass — the (S, J*C)
+intermediate never exists. The backward w.r.t. `table` is the usual
+row scatter-add (XLA); `w` receives an exact cotangent computed by a
+re-gather, which XLA dead-code-eliminates when `w` is stop-gradient
+(the AlignConv / detached-proposal case — every current caller).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Samples per grid block. Each block issues R row-DMAs; scratch is
+# (R, J*C) bf16 = 2 MB at R=1024, J*C=1024. Must be a multiple of 1024:
+# the (R,) int32 SMEM operand inherits XLA's {0:T(1024)} layout, and
+# Mosaic requires the block shape to match that tiling.
+_BLOCK_ROWS = 1024
+
+
+def _xla_gather_weighted(table, idx, w):
+    C = table.shape[-1] // w.shape[-1]
+    g = jnp.take(table, idx, axis=0)
+    g = g.reshape(*idx.shape, w.shape[-1], C)
+    return (g * w[..., None].astype(g.dtype)).sum(-2)
+
+
+def _fwd_kernel(idx_ref, w_ref, table_ref, out_ref, scratch, sems, *, J, C):
+    # table_ref is (T, rows8, 128): one gathered row = one tile-aligned
+    # (rows8, 128) block (single rows of a 2-D HBM buffer are not
+    # DMA-able: slices must align to the (8, 128) tiling).
+    from jax.experimental.pallas import tpu as pltpu
+
+    R = scratch.shape[0]
+    D = J * C
+    NS = sems.shape[0]  # sem-flag memory caps the semaphore count; all
+    # copies are equal-sized, so rows share sems round-robin and each
+    # wait consumes exactly one copy's worth.
+
+    def issue(i, _):
+        pltpu.make_async_copy(
+            table_ref.at[idx_ref[i]], scratch.at[i], sems.at[i % NS]
+        ).start()
+        return 0
+
+    jax.lax.fori_loop(0, R, issue, 0)
+
+    def wait(i, _):
+        pltpu.make_async_copy(
+            table_ref.at[idx_ref[i]], scratch.at[i], sems.at[i % NS]
+        ).wait()
+        return 0
+
+    jax.lax.fori_loop(0, R, wait, 0)
+
+    flat = scratch[...].reshape(R, D)
+    acc = flat[:, 0:C] * w_ref[:, 0:1]
+    for j in range(1, J):
+        acc = acc + flat[:, j * C : (j + 1) * C] * w_ref[:, j : j + 1]
+    out_ref[...] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("block_rows", "interpret"))
+def _pallas_gather_weighted(table, idx, w, block_rows=_BLOCK_ROWS,
+                            interpret=False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    (S,) = idx.shape
+    T, D = table.shape
+    J = w.shape[-1]
+    C = D // J
+    R = block_rows
+    Sp = (S + R - 1) // R * R
+    if Sp != S:
+        idx = jnp.pad(idx, (0, Sp - S))
+        w = jnp.pad(w, ((0, Sp - S), (0, 0)))
+    w = w.astype(table.dtype)
+    # one table row -> one tile-aligned (rows8, 128) block (see kernel)
+    rows8 = D // 128
+    table3 = table.reshape(T, rows8, 128)
+
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, J=J, C=C),
+        grid=(Sp // R,),
+        in_specs=[
+            pl.BlockSpec((R,), lambda i: (i,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((R, J), lambda i: (i, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((R, C), lambda i: (i, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((R, rows8, 128), table.dtype),
+            pltpu.SemaphoreType.DMA((min(R, 256),)),
+        ],
+        out_shape=jax.ShapeDtypeStruct((Sp, C), table.dtype),
+        interpret=interpret,
+    )(idx, w, table3)
+    return out[:S]
+
+
+_USE_PALLAS = [False]
+
+
+def enable_pallas_gather(on: bool = True):
+    """Route gather_weighted_rows through the Pallas kernel (TPU only)."""
+    _USE_PALLAS[0] = bool(on)
+
+
+def gather_weighted_rows(table, idx, w):
+    """out[s, :] = sum_j w[s, j] * table[idx[s], j*C:(j+1)*C].
+
+    Args:
+      table: (T, J*C) corner-packed rows.
+      idx: (S,) int32 row ids (callers flatten batch: idx + b*T).
+      w: (S, J) interpolation weights.
+    Returns: (S, C).
+
+    The XLA path is a plain (non-custom-vjp) formulation on purpose:
+    in this flat form XLA fuses the corner weighting into the gather
+    (zero-cost vs the raw row gather — measured 34 ns/row for both),
+    autodiff produces the fused row-scatter col2im, and when `w` is
+    stop-gradient (AlignConv offsets, detached proposals) the d_w
+    branch and the saved gather output are dead-code-eliminated.
+    """
+    if (
+        _USE_PALLAS[0]
+        and table.shape[-1] % 128 == 0  # row = whole (8,128) lane tiles
+        and table.dtype in (jnp.float32, jnp.bfloat16)
+        and jax.default_backend() in ("tpu", "axon")
+    ):
+        return _pallas_gwr(table, idx, w)
+    return _xla_gather_weighted(table, idx, w)
+
+
+@jax.custom_vjp
+def _pallas_gwr(table, idx, w):
+    return _pallas_gather_weighted(table, idx, w)
+
+
+def _pgwr_fwd(table, idx, w):
+    return _pallas_gwr(table, idx, w), (table, idx, w)
+
+
+def _pgwr_bwd(res, d_out):
+    table, idx, w = res
+    S, J = w.shape
+    C = d_out.shape[-1]
+    # d_table[r, j*C:(j+1)*C] += w[s, j] * d_out[s, :]  for idx[s] == r
+    d_rows = (w[:, :, None].astype(d_out.dtype) * d_out[:, None, :]).reshape(
+        S, J * C
+    )
+    d_table = jnp.zeros_like(table).at[idx].add(
+        d_rows.astype(table.dtype), mode="drop"
+    )
+    g = jnp.take(table, idx, axis=0).reshape(S, J, C)
+    d_w = (g * d_out[:, None, :]).sum(-1).astype(w.dtype)
+    return d_table, None, d_w
+
+
+_pallas_gwr.defvjp(_pgwr_fwd, _pgwr_bwd)

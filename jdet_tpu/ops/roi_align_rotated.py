@@ -169,12 +169,19 @@ def roi_align_rotated_multilevel(
     cw, local_rows = corner_weights_and_rows(
         sy, sx, ex(Hl), ex(Wl), table.dtype
     )
+    from .pallas_gather import gather_weighted_rows
+
     idx = ex(base) + local_rows
-    g = jnp.take_along_axis(
-        table, idx.reshape(B, -1)[..., None], axis=1
-    ).reshape(*idx.shape, 4, C)
-    # elementwise corner weighting (see deform_conv.bilinear_sample_nhwc)
-    out = (g * cw[..., None].astype(g.dtype)).sum(-2)
+    T = table.shape[1]
+    flat = table.reshape(B * T, 4 * C)
+    boff = jnp.arange(B, dtype=jnp.int32).reshape(
+        (B,) + (1,) * (idx.ndim - 1)
+    )
+    rows = (idx + boff * T).reshape(-1)
+    # fused gather + corner weighting (see pallas_gather)
+    out = gather_weighted_rows(flat, rows, cw.reshape(-1, 4)).reshape(
+        *idx.shape, C
+    )
     out = out.mean(-2)  # average the G samples per bin
     if valid is not None:
         out = out * valid[..., None, None, None]
