@@ -94,11 +94,42 @@ FAMILIES = {
                        point_feat_channels=32, stacked_convs=1,
                        test_cfg=_TEST),
     ),
+    # CSL: gaussian-smoothed angle-classification decode
+    "csl": dict(
+        type="RotatedRetinaNet", backbone=_R18, neck=_FPN,
+        bbox_head=dict(type="CSLRRetinaHead", num_classes=16,
+                       in_channels=32, feat_channels=32, stacked_convs=1,
+                       test_cfg=_TEST),
+    ),
+    # LD's distribution head (integral decode) on the plain detector —
+    # the distillation wrapper adds a teacher, the decode path is here
+    "ld_dist": dict(
+        type="RotatedRetinaNet", backbone=_R18, neck=_FPN,
+        bbox_head=dict(type="RotatedRetinaDistributionHead", reg_max=8,
+                       num_classes=16, in_channels=32, feat_channels=32,
+                       stacked_convs=1, test_cfg=_TEST),
+    ),
+    # R3Det: FeatureRefine cascade decode (stage-2 refined anchors)
+    "r3det": dict(
+        type="R3Det", backbone=_R18, neck=_FPN,
+        bbox_head=dict(type="R3DetHead", num_classes=16, in_channels=32,
+                       feat_channels=32, stacked_convs=1, test_cfg=_TEST),
+    ),
+    "faster_rcnn_obb": dict(
+        type="FasterRCNNOBB", backbone=_R18,
+        neck=dict(type="FPN", out_channels=32, num_outs=5),
+        rpn_head=dict(type="RPNHead", in_channels=32, feat_channels=32,
+                      nms_pre=128, nms_post=64),
+        bbox_head=dict(type="FasterrcnnHead", num_classes=15, in_channels=32,
+                       fc_out_channels=64, test_cfg=dict(max_per_img=32,
+                                                         score_thr=0.05)),
+    ),
 }
 
 STEPS = {"retinanet": 400, "s2anet": 400, "oriented_rcnn": 400,
          "redet": 400, "gliding": 500, "roi_transformer": 500,
-         "fcos": 500, "reppoints": 600}
+         "fcos": 500, "reppoints": 600, "csl": 500, "ld_dist": 500,
+         "r3det": 500, "faster_rcnn_obb": 500}
 N_CLASSES = 4  # synthetic tiles only use DOTA classes 1..4
 
 
@@ -151,6 +182,56 @@ def test_overfit_reaches_map(tiles, name):
                and 1 <= int(k.split("/")[1].split("_")[0]) <= N_CLASSES]
     m = float(np.mean(present))
     assert m >= 0.8, (name, metrics)
+
+
+def test_h2rbox_overfit_reaches_map(tiles):
+    """H2RBox closure: train from WEAK (horizontal) labels via the
+    rotate-consistency loss, evaluate against the true rotated boxes.
+    Angle must emerge from self-supervision alone, so the bar is lower
+    than the fully-supervised families' 0.8."""
+    root, img_dir, ann = tiles
+    ds = dict(
+        version="1", annotations_file=ann, images_dir=img_dir,
+        image_size=(128, 128), max_gt=8,
+        transforms=[
+            dict(type="RotatedResize", min_size=128, max_size=128),
+            dict(type="Normalize", mean=[0, 0, 0], std=[255, 255, 255],
+                 to_bgr=False),
+        ],
+    )
+    cfg = Config(
+        name="overfit_h2rbox",
+        work_dir=os.path.join(root, "work_h2rbox"),
+        max_iter=600, max_epoch=0, log_interval=1000,
+        checkpoint_interval=10000, eval_interval=None, seed=0,
+        model=dict(
+            type="H2RBox", backbone=_R18,
+            neck=dict(type="FPN", out_channels=32, num_outs=5,
+                      start_level=1, add_extra_convs="on_output",
+                      relu_before_extra_convs=True),
+            bbox_head=dict(type="H2RBoxHead", num_classes=15,
+                           in_channels=32, feat_channels=32,
+                           stacked_convs=1, test_cfg=_TEST),
+        ),
+        optimizer=dict(type="Adam", lr=1e-3, grad_clip=dict(max_norm=10)),
+        scheduler=dict(type="StepLR", warmup="linear", warmup_iters=20,
+                       warmup_ratio=0.1, milestones=[10 ** 6]),
+        dataset=dict(
+            train=dict(type="DOTAWSOODDataset", **ds, batch_size=4,
+                       shuffle=True),
+            val=dict(type="DOTADataset", **ds, batch_size=4,
+                     filter_empty_gt=False, drop_last=False),
+        ),
+    )
+    runner = Runner(cfg)
+    while not runner.finish:
+        runner.train_epoch()
+    metrics = runner.val()
+    present = [v for k, v in metrics.items()
+               if k.startswith("eval/") and k.endswith("_AP")
+               and 1 <= int(k.split("/")[1].split("_")[0]) <= N_CLASSES]
+    m = float(np.mean(present))
+    assert m >= 0.4, metrics
 
 
 def test_yolo_overfit_reaches_map(tmp_path):
