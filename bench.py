@@ -192,29 +192,91 @@ def bench_loader_fed(n_tiles=24, B=4):
     graphdef, state = nnx.split((model, opt))
     step = _train_fn(model, opt, graphdef, preprocess=normalize,
                      augment=augment)
-    # warmup: compile on the first batch, and run one full untimed epoch
-    # so the pre-decoded tile cache is built before the clock starts (the
-    # metric is steady-state feeding rate, not one-time cache build)
+    # warmup: compile on the first batch only. The first timed epoch
+    # below still decodes from disk (cold; comparable with rounds 1-2),
+    # the second reads the pre-decoded memmap cache (steady-state) —
+    # both are reported so round-over-round numbers stay comparable
+    # (ADVICE r3).
     batch, _ = next(ds.batches(seed=0))
     images = jnp.asarray(batch["images"])
     targets = {k: jnp.asarray(v) for k, v in batch["targets"].items()}
     loss, state = step(state, images, targets)
     jax.device_get(loss)
-    for batch, _ in ds.batches(epoch=0, seed=0):
-        pass
 
-    n_img = 0
-    t0 = time.perf_counter()
+    rates = []
     for epoch in range(2):
+        n_img = 0
+        t0 = time.perf_counter()
         for batch, _ in ds.batches(epoch=epoch, seed=1):
             images = jnp.asarray(batch["images"])
             targets = {k: jnp.asarray(v) for k, v in batch["targets"].items()}
             loss, state = step(state, images, targets)
             n_img += images.shape[0]
-    jax.device_get(loss)
-    dt = time.perf_counter() - t0
-    return {"train_tiles_per_s": round(n_img / dt, 2), "batch": B,
+        jax.device_get(loss)
+        rates.append(n_img / (time.perf_counter() - t0))
+    return {"train_tiles_per_s": round(rates[-1], 2),
+            "cold_tiles_per_s": round(rates[0], 2), "batch": B,
             "pipeline": "disk+transforms"}
+
+
+SPECS = None  # filled below; (name, cfg, batch) rows for bench_model
+
+
+def _probe_tpu(timeout_s=240):
+    """Initialize the accelerator backend in a SUBPROCESS with a hard
+    timeout. The axon tunnel can die in a way that makes jax.devices()
+    hang forever (observed round 3: bench rc=124, nothing recorded) —
+    a hung probe child can be killed; a hung in-process init cannot."""
+    import subprocess
+    import sys
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; d = jax.devices(); print(d[0].platform)"],
+            timeout=timeout_s, capture_output=True, text=True,
+        )
+    except subprocess.TimeoutExpired:
+        return None
+    if r.returncode != 0:
+        return None
+    out = r.stdout.strip().splitlines()
+    return out[-1] if out else None
+
+
+def _run_row(name, timeout_s):
+    """Run one bench row in a subprocess; returns its row dict. A tunnel
+    death mid-row then costs that row, not the whole matrix."""
+    import subprocess
+    import sys
+
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--row", name],
+            timeout=timeout_s, capture_output=True, text=True,
+        )
+    except subprocess.TimeoutExpired:
+        return {"error": f"row timed out after {timeout_s}s"}
+    for line in reversed(r.stdout.strip().splitlines()):
+        try:
+            return json.loads(line)
+        except (json.JSONDecodeError, ValueError):
+            continue
+    return {"error": (r.stderr or "no output")[-160:]}
+
+
+def _row_main(name):
+    """Child-process entry: run one row, print its JSON dict."""
+    import jax.numpy as jnp
+    from jdet_tpu.models.nn import set_compute_dtype
+
+    set_compute_dtype(jnp.bfloat16)
+    if name == "retinanet_loader_fed":
+        row = bench_loader_fed()
+    else:
+        spec = {n: (cfg, B) for n, cfg, B in SPECS}[name]
+        row = bench_model(name, spec[0], spec[1])
+    print(json.dumps(row))
 
 
 def main():
@@ -247,25 +309,42 @@ def main():
         ), 4),
         ("redet_re50", dict(
             type="ReDet",
-            backbone=dict(type="ReResNet", depth=50, base_fields=8),
+            backbone=dict(type="ReResNet", depth=50, base_fields=8,
+                          frozen_stages=1),  # reference config parity
             neck=dict(type="ReFPN", out_channels=256, num_outs=5),
             rpn_head=dict(type="RPNHead", in_channels=256, feat_channels=256),
             bbox_head=dict(type="ReDetHead", num_classes=15, in_channels=256),
         ), 2),
     ]
-    import jax.numpy as jnp
-    from jdet_tpu.models.nn import set_compute_dtype
+    global SPECS
+    SPECS = specs
 
-    set_compute_dtype(jnp.bfloat16)
-    for name, cfg, B in specs:
-        try:
-            matrix[name] = bench_model(name, cfg, B)
-        except Exception as e:  # keep the scored line alive
-            matrix[name] = {"error": str(e)[:160]}
-    try:
-        matrix["retinanet_loader_fed"] = bench_loader_fed()
-    except Exception as e:
-        matrix["retinanet_loader_fed"] = {"error": str(e)[:160]}
+    import sys
+
+    if len(sys.argv) >= 3 and sys.argv[1] == "--row":
+        _row_main(sys.argv[2])
+        return
+
+    platform = _probe_tpu()
+    if platform is None:
+        # tunnel down: emit a parseable line fast instead of hanging
+        # into the driver's timeout (round-3 failure mode)
+        print(json.dumps({
+            "metric": "retinanet_obb_r50_train_tiles_per_sec_per_chip",
+            "value": 0.0, "unit": "1024px_tiles/s/chip",
+            "vs_baseline": -1.0,
+            "error": "accelerator backend init hung/failed (tunnel down)",
+        }))
+        return
+
+    # per-row timeout: compile (~40s) + 12 timed steps leaves wide margin;
+    # redet/loader rows are the slowest observed (~6 min round 3)
+    for name, _, _ in specs:
+        matrix[name] = _run_row(name, timeout_s=900)
+    matrix["retinanet_loader_fed"] = _run_row(
+        "retinanet_loader_fed", timeout_s=900
+    )
+    matrix["platform"] = platform
 
     primary = matrix.get("retinanet_obb_r50", {}).get("train_tiles_per_s", 0.0)
     print(

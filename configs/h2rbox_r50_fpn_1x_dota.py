@@ -6,7 +6,8 @@ scheduler = dict(type="StepLR", warmup="linear", warmup_iters=500,
                  warmup_ratio=1.0 / 3, milestones=[8, 11], gamma=0.1)
 model = dict(
     type="H2RBox",
-    backbone=dict(type="ResNet", depth=50, frozen_stages=1),
+    backbone=dict(type="ResNet", depth=50, frozen_stages=1,
+                  pretrained="data/pretrained/resnet50.ckpt"),
     neck=dict(type="FPN", out_channels=256, num_outs=5, start_level=1,
               add_extra_convs="on_output", relu_before_extra_convs=True),
     bbox_head=dict(type="H2RBoxHead", num_classes=15, in_channels=256,

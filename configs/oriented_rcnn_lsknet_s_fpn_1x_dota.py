@@ -6,7 +6,8 @@ scheduler = dict(type="StepLR", warmup="linear", warmup_iters=500,
                  warmup_ratio=1.0 / 3, milestones=[8, 11], gamma=0.1)
 model = dict(
     type="OrientedRCNN",
-    backbone=dict(type="LSKNet", arch="s"),
+    backbone=dict(type="LSKNet", arch="s",
+                  pretrained="data/pretrained/lsknet_s.ckpt"),
     neck=dict(type="FPN", out_channels=256, num_outs=5),
     rpn_head=dict(type="OrientedRPNHead", in_channels=256, feat_channels=256),
     bbox_head=dict(type="OrientedHead", num_classes=15, in_channels=256),

@@ -6,7 +6,8 @@ img_norm_mean = [123.675, 116.28, 103.53]
 
 model = dict(
     type="SSD",
-    backbone=dict(type="SSDVGG"),
+    backbone=dict(type="SSDVGG",
+                  pretrained="data/pretrained/vgg16.ckpt"),
     neck=dict(
         type="SSDNeck",
         in_channels=(512, 1024),

@@ -108,6 +108,12 @@ class ReResNet(nnx.Module):
                      use_running_average=not (bn_train and self.frozen_stages < 0))
         )
         x = max_pool(x, 3, 2, "SAME")
+        if train and self.frozen_stages >= 0:
+            # same tape cut as ResNet (resnet.py:165-170): without it XLA
+            # still synthesizes the full backward — including the 8x ARF
+            # weight-expansion grads — through every frozen stage, even
+            # though the optimizer masks those params
+            x = jax.lax.stop_gradient(x)
         outs = []
         for i, stage in enumerate(
             [self.layer1, self.layer2, self.layer3, self.layer4], start=1
@@ -115,6 +121,8 @@ class ReResNet(nnx.Module):
             st = bn_train and i > self.frozen_stages
             for blk in stage:
                 x = blk(x, st)
+            if train and i <= self.frozen_stages:
+                x = jax.lax.stop_gradient(x)
             if f"layer{i}" in self.return_stages:
                 outs.append(x)
         return tuple(outs)

@@ -19,8 +19,14 @@ from . import heads as _heads  # noqa: F401
 from . import detectors as _detectors  # noqa: F401
 
 
-def build_detector(cfg, rngs=None, seed=0):
-    """Build a detector from a reference-style model config dict."""
+def build_detector(cfg, rngs=None, seed=0, load_pretrained=True):
+    """Build a detector from a reference-style model config dict.
+
+    load_pretrained=False builds the architecture but skips loading
+    `backbone.pretrained` weights (tests / weight-conversion tooling —
+    the reference's `pretrained=False` factory arg,
+    backbones/resnet.py:192-235).
+    """
     if rngs is None:
         rngs = nnx.Rngs(seed)
     cfg = dict(cfg)
@@ -31,14 +37,25 @@ def build_detector(cfg, rngs=None, seed=0):
         bcls = BACKBONES.get(bcfg.pop("type"))
         pretrained = bcfg.pop("pretrained", None)
         backbone = bcls(rngs=rngs, **bcfg)
-        if isinstance(pretrained, str):
+        if isinstance(pretrained, str) and load_pretrained:
             # file-based counterpart of the reference's jittorhub auto-load
             # (backbones/resnet.py:192-235); no egress here, so configs
             # point at a local state-dict file
+            import os
+
+            if not os.path.exists(pretrained):
+                raise FileNotFoundError(
+                    f"backbone.pretrained={pretrained!r} not found. "
+                    "Convert ImageNet weights once with "
+                    "`python tools/convert_weights.py --family <fam> "
+                    f"--src <weights> --out {pretrained}` (no network "
+                    "egress here), or remove the key to train from "
+                    "scratch."
+                )
             from .pretrained import load_pretrained_backbone
 
             load_pretrained_backbone(backbone, pretrained)
-        elif pretrained:
+        elif pretrained and not isinstance(pretrained, str):
             raise ValueError(
                 "backbone.pretrained must be a local state-dict path "
                 "(this environment has no network egress)"
@@ -62,7 +79,8 @@ def build_detector(cfg, rngs=None, seed=0):
     if cfg.get("teacher") is not None:
         tcfg = cfg.pop("teacher")
         ckpt = cfg.pop("teacher_ckpt", None)
-        parts["teacher"] = build_detector(dict(tcfg), rngs=rngs)
+        parts["teacher"] = build_detector(dict(tcfg), rngs=rngs,
+                                          load_pretrained=load_pretrained)
         if ckpt:
             parts["teacher_ckpt"] = ckpt
     else:

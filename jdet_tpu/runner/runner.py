@@ -204,6 +204,27 @@ class Runner:
         return self.epoch >= self.max_epoch
 
     def _build_train_step(self):
+        # training graphs must be traced with cache_on=False: a
+        # load()->val()->train_epoch() resume otherwise bakes the frozen
+        # ExpandedWeight buffer into the train graphdef and the base
+        # weights stop receiving gradients (ADVICE r3)
+        from ..models.equivariant import cache_expanded_weights
+
+        cache_expanded_weights(self.model, enable=False)
+        # ...except FROZEN backbone stages: their weights never update
+        # (optimizer mask + backbone stop_gradient), so the 8x ARF/
+        # steerable expansion is loop-invariant across the whole run —
+        # precompute it once instead of re-gathering every step (the
+        # dominant non-conv cost of frozen ReResNet stages)
+        bb = getattr(self.model, "backbone", None)
+        fs = getattr(bb, "frozen_stages", -1) if bb is not None else -1
+        if fs is not None and fs >= 0:
+            for name in ["conv1", "bn1"] + [
+                f"layer{i}" for i in range(1, fs + 1)
+            ]:
+                sub = getattr(bb, name, None)
+                if sub is not None:
+                    cache_expanded_weights(sub, enable=True)
         graphdef, state, step = build_train_step(
             self.model, self.optimizer, self.mesh,
             preprocess=self._preprocess,
@@ -383,6 +404,10 @@ class Runner:
                     results.append(({k: v[i] for k, v in det.items()}, meta))
         if raw_state is not None:
             self.nnx.update(self.model, raw_state)
+        # drop the expansion caches in BOTH paths: wexp goes stale as
+        # training continues and would otherwise be checkpointed; the next
+        # _run_inference refills it from the then-current weights
+        cache_expanded_weights(self.model, enable=False)
         return results
 
     def val(self):

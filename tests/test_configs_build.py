@@ -20,5 +20,7 @@ def test_config_builds(path):
     assert "model" in cfg and "dataset" in cfg and "optimizer" in cfg
     # shrink the model so init is fast but construction paths all run
     m = dict(cfg["model"])
-    model = build_detector(m, seed=0)
+    # architecture only: pretrained files are converted per-machine
+    # (tools/convert_weights.py) and absent in CI
+    model = build_detector(m, seed=0, load_pretrained=False)
     assert model is not None

@@ -124,12 +124,59 @@ FAMILIES = {
                        fc_out_channels=64, test_cfg=dict(max_per_img=32,
                                                          score_thr=0.05)),
     ),
+    # loss-variant retina heads: same decode path as retinanet but the
+    # regression signal flows through the GWD/KLD/KFIoU/RSDet losses —
+    # a sign/normalizer bug there would stall convergence
+    "gwd": dict(
+        type="RotatedRetinaNet", backbone=_R18, neck=_FPN,
+        bbox_head=dict(type="GWDRetinaHead", num_classes=16,
+                       in_channels=32, feat_channels=32, stacked_convs=1,
+                       test_cfg=_TEST),
+    ),
+    "kld": dict(
+        type="RotatedRetinaNet", backbone=_R18, neck=_FPN,
+        bbox_head=dict(type="KLDRetinaHead", num_classes=16,
+                       in_channels=32, feat_channels=32, stacked_convs=1,
+                       test_cfg=_TEST),
+    ),
+    "kfiou": dict(
+        type="RotatedRetinaNet", backbone=_R18, neck=_FPN,
+        bbox_head=dict(type="KFIoURRetinaHead", num_classes=16,
+                       in_channels=32, feat_channels=32, stacked_convs=1,
+                       test_cfg=_TEST),
+    ),
+    "rsdet": dict(
+        type="RotatedRetinaNet", backbone=_R18, neck=_FPN,
+        bbox_head=dict(type="RSDetHead", num_classes=16,
+                       in_channels=32, feat_channels=32, stacked_convs=1,
+                       test_cfg=_TEST),
+    ),
+    # ATSS adaptive assignment (mean+std IoU threshold) feeding the
+    # retina decode
+    "atss": dict(
+        type="RotatedRetinaNet", backbone=_R18, neck=_FPN,
+        bbox_head=dict(type="RotatedATSSHead", octave_base_scale=4,
+                       scales_per_octave=1, num_classes=16,
+                       in_channels=32, feat_channels=32, stacked_convs=1,
+                       test_cfg=_TEST),
+    ),
+    # RIDet rides S2ANet's ODM stage (reference recipe,
+    # configs/s2anet/s2anet_r50_fpn_1x_dota_ridet.py)
+    "ridet": dict(
+        type="S2ANet", backbone=_R18, neck=_FPN,
+        bbox_head=dict(type="S2ANetHead", num_classes=16, in_channels=32,
+                       feat_channels=32, stacked_convs=1,
+                       loss_odm_bbox=dict(type="ridet", beta=1.0,
+                                          loss_weight=1.0),
+                       test_cfg=_TEST),
+    ),
 }
 
 STEPS = {"retinanet": 400, "s2anet": 400, "oriented_rcnn": 400,
          "redet": 400, "gliding": 500, "roi_transformer": 500,
          "fcos": 500, "reppoints": 600, "csl": 500, "ld_dist": 500,
-         "r3det": 500, "faster_rcnn_obb": 500}
+         "r3det": 500, "faster_rcnn_obb": 500, "gwd": 500, "kld": 500,
+         "kfiou": 600, "rsdet": 500, "atss": 500, "ridet": 500}
 N_CLASSES = 4  # synthetic tiles only use DOTA classes 1..4
 
 
@@ -232,6 +279,55 @@ def test_h2rbox_overfit_reaches_map(tiles):
                and 1 <= int(k.split("/")[1].split("_")[0]) <= N_CLASSES]
     m = float(np.mean(present))
     assert m >= 0.4, metrics
+
+
+def test_ssd_overfit_reaches_map(tmp_path_factory):
+    """SSD closure: horizontal-box multibox decode (hard-negative-mined CE
+    + hbb deltas -> angle-0 rbox predict). Tiles are axis-aligned — SSD's
+    representation cannot reach IoU>=0.5 against rotated gt."""
+    root = str(tmp_path_factory.mktemp("overfit_ssd"))
+    img_dir, ann = make_synthetic_dota(root, n_images=4, size=128, n_obj=3,
+                                       n_classes=4, axis_aligned=True)
+    ds = dict(
+        type="DOTADataset", version="1", annotations_file=ann,
+        images_dir=img_dir, image_size=(128, 128), max_gt=8,
+        transforms=[
+            dict(type="RotatedResize", min_size=128, max_size=128),
+            dict(type="Normalize", mean=[0, 0, 0], std=[255, 255, 255],
+                 to_bgr=False),
+        ],
+    )
+    cfg = Config(
+        name="overfit_ssd",
+        work_dir=os.path.join(root, "work_ssd"),
+        max_iter=500, max_epoch=0, log_interval=1000,
+        checkpoint_interval=10000, eval_interval=None, seed=0,
+        model=dict(
+            type="SSD",
+            backbone=dict(type="SSDVGG"),
+            neck=dict(type="SSDNeck"),
+            bbox_head=dict(type="SSDHead", num_classes=15,
+                           test_cfg=dict(nms_pre=256, max_per_img=32,
+                                         score_thr=0.05)),
+        ),
+        optimizer=dict(type="Adam", lr=1e-3, grad_clip=dict(max_norm=10)),
+        scheduler=dict(type="StepLR", warmup="linear", warmup_iters=20,
+                       warmup_ratio=0.1, milestones=[10 ** 6]),
+        dataset=dict(
+            train=dict(**ds, batch_size=4, shuffle=True),
+            val=dict(**ds, batch_size=4, filter_empty_gt=False,
+                     drop_last=False),
+        ),
+    )
+    runner = Runner(cfg)
+    while not runner.finish:
+        runner.train_epoch()
+    metrics = runner.val()
+    present = [v for k, v in metrics.items()
+               if k.startswith("eval/") and k.endswith("_AP")
+               and 1 <= int(k.split("/")[1].split("_")[0]) <= N_CLASSES]
+    m = float(np.mean(present))
+    assert m >= 0.8, metrics
 
 
 def test_yolo_overfit_reaches_map(tmp_path):

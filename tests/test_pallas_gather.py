@@ -63,6 +63,30 @@ def test_vjp_table_matches_autodiff_of_xla_form():
     np.testing.assert_allclose(gw_c, gw_p, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("mode", ["sorted", "bf16", "sorted_bf16"])
+def test_scatter_modes_match_plain(mode):
+    """Flagged backward-scatter strategies (set_scatter_mode) must produce
+    the same d_table/d_w as the plain autodiff path (bf16 modes: to bf16
+    precision)."""
+    from jdet_tpu.ops.pallas_gather import set_scatter_mode
+
+    table, idx, w = _case(S=300, T=64, C=128)
+
+    def f(t, ww):
+        return (gather_weighted_rows(t, idx, ww) ** 2).sum()
+
+    gt_p, gw_p = jax.grad(f, argnums=(0, 1))(table, w)
+    set_scatter_mode(mode)
+    try:
+        gt_m, gw_m = jax.grad(f, argnums=(0, 1))(table, w)
+    finally:
+        set_scatter_mode("plain")
+    tol = dict(rtol=2e-2, atol=2e-2) if "bf16" in mode else dict(
+        rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(gt_m, gt_p, **tol)
+    np.testing.assert_allclose(gw_m, gw_p, rtol=1e-4, atol=1e-4)
+
+
 def test_dw_branch_dce_when_w_stopgrad():
     # With w stop-gradded, the backward's re-gather must be dead-code
     # eliminated: the optimized HLO contains exactly one gather

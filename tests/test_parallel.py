@@ -96,6 +96,42 @@ def test_sharded_train_step_matches_single_device():
     assert checked
 
 
+def _tiny_s2anet(seed=0, feat=32):
+    from jdet_tpu.models.builder import build_detector
+
+    return build_detector(dict(
+        type="S2ANet",
+        backbone=dict(type="ResNet", depth=18, frozen_stages=-1),
+        neck=dict(type="FPN", out_channels=feat, num_outs=5, start_level=1,
+                  add_extra_convs="on_input"),
+        bbox_head=dict(type="S2ANetHead", num_classes=16, in_channels=feat,
+                       feat_channels=feat, stacked_convs=1,
+                       test_cfg=dict(nms_pre=64, max_per_img=16)),
+    ), seed=seed)
+
+
+def test_sharded_s2anet_matches_single_device():
+    """The DCN/ORN gather path (batch-offset row ids into the flattened
+    (B*T, 4C) corner table, deform_conv.py:149-156) must partition
+    correctly under GSPMD: sharded loss == single-device loss."""
+    def run(mesh):
+        model = _tiny_s2anet(seed=0)
+        opt = nnx.Optimizer(model, optax.sgd(0.01, momentum=0.9),
+                            wrt=nnx.Param)
+        graphdef, state, step = build_train_step(model, opt, mesh)
+        images, targets = _batch(size=64)
+        key = jax.random.PRNGKey(0)
+        losses = []
+        for it in range(2):
+            state, log_vars = step(state, images, targets, key,
+                                   jnp.int32(it))
+            losses.append(float(jax.device_get(log_vars["total_loss"])))
+        return losses
+
+    np.testing.assert_allclose(run(make_mesh(8)), run(make_mesh(1)),
+                               rtol=5e-4, atol=1e-5)
+
+
 def test_train_step_output_is_replicated():
     mesh = make_mesh(8)
     _, state = _run_steps(mesh, n_steps=1)

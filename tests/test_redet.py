@@ -160,3 +160,17 @@ def test_cache_expanded_weights_exact():
     np.testing.assert_array_equal(np.asarray(pred(st, x)), np.asarray(y0))
     cache_expanded_weights(m, enable=False)
     np.testing.assert_array_equal(np.asarray(m(x)), np.asarray(y0))
+    # disabling must DROP the buffers (stale expansions poison graphs
+    # rebuilt later, and checkpoints should not carry them — ADVICE r3)
+    assert m.a.wexp.value.size == 0
+    assert m.b.wexp.value.size == 0
+    assert m.c.wexp.value.size == 0
+    # and a train graph built after a cache cycle still differentiates
+    # through the BASE weights (the round-3 medium finding: cache_on baked
+    # into a rebuilt train graphdef zeroed base-weight grads)
+    def lf(mm):
+        return jnp.sum(mm(x) ** 2)
+
+    grads = nnx.grad(lf)(m)
+    gb = np.asarray(grads["b"]["weight"].value)
+    assert np.any(gb != 0.0)

@@ -9,8 +9,13 @@ from jdet_tpu.config.config import Config
 from jdet_tpu.data.transforms import rbox_to_poly_np
 
 
-def make_synthetic_dota(root, n_images=6, size=128, n_obj=4, n_classes=15):
-    """Images with bright rotated rectangles on dark background + labels.pkl."""
+def make_synthetic_dota(root, n_images=6, size=128, n_obj=4, n_classes=15,
+                        axis_aligned=False):
+    """Images with bright rotated rectangles on dark background + labels.pkl.
+
+    axis_aligned=True emits angle-0 boxes — for closing the decode loop of
+    horizontal-box detectors (SSD) whose representation cannot reach
+    IoU>=0.5 against arbitrarily rotated gt."""
     import cv2
 
     rng = np.random.RandomState(0)
@@ -24,7 +29,8 @@ def make_synthetic_dota(root, n_images=6, size=128, n_obj=4, n_classes=15):
             rb = [
                 rng.uniform(30, size - 30), rng.uniform(30, size - 30),
                 rng.uniform(20, 50), rng.uniform(10, 25),
-                rng.uniform(-np.pi / 4, 3 * np.pi / 4),
+                0.0 if axis_aligned
+                else rng.uniform(-np.pi / 4, 3 * np.pi / 4),
             ]
             poly = rbox_to_poly_np(np.asarray([rb], np.float32))[0]
             cv2.fillPoly(
@@ -155,6 +161,89 @@ def test_checkpoint_roundtrip(mini_cfg, tmp_path):
     s2 = nnx.to_flat_state(nnx.state(m2))
     for (p1, l1), (p2, l2) in zip(s1, s2):
         assert np.allclose(np.asarray(l1.value), np.asarray(l2.value)), p1
+
+
+def test_frozen_equivariant_train_cache(tmp_path):
+    """Frozen ReResNet stages train with the PRECOMPUTED expansion cache
+    (loop-invariant — runner.py:_build_train_step), unfrozen equivariant
+    convs with the live expansion; frozen weights stay fixed, the rest
+    train; a val() in between must not disturb any of it."""
+    from flax import nnx
+
+    from jdet_tpu.config.config import Config
+    from jdet_tpu.models.equivariant import REConv2d, REConv2dLift
+    from jdet_tpu.runner import Runner
+
+    root = str(tmp_path)
+    img_dir, ann = make_synthetic_dota(root, n_images=2, size=128, n_obj=3,
+                                       n_classes=4)
+    ds = dict(
+        type="DOTADataset", version="1", annotations_file=ann,
+        images_dir=img_dir, image_size=(128, 128), max_gt=8,
+        transforms=[
+            dict(type="RotatedResize", min_size=128, max_size=128),
+            dict(type="Normalize", mean=[0, 0, 0], std=[255, 255, 255],
+                 to_bgr=False),
+        ],
+    )
+    cfg = Config(
+        name="frozen_cache", work_dir=os.path.join(root, "work"),
+        max_iter=2, max_epoch=0, log_interval=1000,
+        checkpoint_interval=10000, eval_interval=None, seed=0,
+        model=dict(
+            type="ReDet",
+            backbone=dict(type="ReResNet", depth=18, base_fields=4,
+                          frozen_stages=1),
+            neck=dict(type="ReFPN", out_channels=32, num_outs=5),
+            rpn_head=dict(type="RPNHead", in_channels=32, feat_channels=32,
+                          nms_pre=64, nms_post=32),
+            bbox_head=dict(type="ReDetHead", num_classes=15, in_channels=32,
+                           fc_out_channels=64,
+                           test_cfg=dict(max_per_img=8, score_thr=0.01)),
+        ),
+        optimizer=dict(type="SGD", lr=0.01, momentum=0.9),
+        scheduler=dict(type="StepLR", milestones=[10 ** 6]),
+        dataset=dict(train=dict(**ds, batch_size=2, shuffle=False),
+                     val=dict(**ds, batch_size=2, filter_empty_gt=False,
+                              drop_last=False)),
+    )
+    runner = Runner(cfg)
+
+    def econvs(m):
+        frozen, live = {}, {}
+        for path, mod in nnx.iter_graph(m):
+            if isinstance(mod, (REConv2d, REConv2dLift)):
+                p = "/".join(map(str, path))
+                seg = p.split("/")
+                is_frozen = seg[0] == "backbone" and (
+                    seg[1] in ("conv1", "layer1"))
+                (frozen if is_frozen else live)[p] = mod
+        return frozen, live
+
+    runner.train_epoch()
+    frozen, live = econvs(runner.model)
+    assert frozen and live
+    for p, mod in frozen.items():
+        assert mod.cache_on and mod.wexp.value.size, p
+    for p, mod in live.items():
+        assert not mod.cache_on and mod.wexp.value.size == 0, p
+    w_frozen0 = {p: np.asarray(m.weight.value).copy()
+                 for p, m in frozen.items()}
+    w_live0 = {p: np.asarray(m.weight.value).copy()
+               for p, m in live.items()}
+
+    runner.val()  # eval fills/drops caches; training must survive it
+    cfg["max_iter"] = 4
+    runner.max_iter = 4
+    runner.train_epoch()
+    frozen, live = econvs(runner.model)
+    for p, mod in frozen.items():
+        np.testing.assert_array_equal(
+            np.asarray(mod.weight.value), w_frozen0[p]), p
+    assert any(
+        not np.array_equal(np.asarray(m.weight.value), w_live0[p])
+        for p, m in live.items()
+    ), "no unfrozen equivariant weight updated after val()+train"
 
 
 def test_runner_device_normalize_uint8(tmp_path):

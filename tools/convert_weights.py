@@ -71,7 +71,10 @@ def main():
         from jdet_tpu.models.builder import build_detector
 
         cfg = load_cfg_file(args.config_file)
-        model = build_detector(dict(cfg["model"]), seed=0)
+        # skip backbone.pretrained auto-load: the imported checkpoint
+        # replaces every weight anyway
+        model = build_detector(dict(cfg["model"]), seed=0,
+                               load_pretrained=False)
         loaded, missing, unexpected = import_jdet_checkpoint(
             model, args.src, strict=args.strict
         )
