@@ -12,13 +12,6 @@ dataset = dict(
         annotations_file=dataset_root + "/trainval/labels.pkl",
         images_dir=dataset_root + "/trainval/images",
         balance_category=True,
-        transforms=[
-            dict(type="RotatedResize", min_size=1024, max_size=1024),
-            dict(type="RotatedRandomFlip", prob=0.5),
-            dict(type="RandomRotateAug", rotate_ratio=1.0),
-            dict(type="Normalize", mean=[123.675, 116.28, 103.53],
-                 std=[58.395, 57.12, 57.375], to_bgr=False),
-        ],
     ),
     val=dict(
         annotations_file=dataset_root + "/trainval/labels.pkl",
@@ -28,6 +21,10 @@ dataset = dict(
         images_dir=dataset_root + "/test/images",
     ),
 )
+
+# flip + random 90-degree rotate run device-side inside the jitted step
+# (same math as RotatedRandomFlip / RandomRotateAug)
+device_augment = dict(flip_h=0.5, rot90=1.0)
 
 # multi-scale tiling: each source image is tiled at 3 zoom rates; the
 # merge step rescales per-tile offsets by the rate encoded in the tile
