@@ -203,13 +203,15 @@ def bench_loader_fed(n_tiles=24, B=4):
     loss, state = step(state, images, targets)
     jax.device_get(loss)
 
+    from jdet_tpu.parallel.spmd import prefetch_to_device
+
     rates = []
     for epoch in range(2):
         n_img = 0
         t0 = time.perf_counter()
-        for batch, _ in ds.batches(epoch=epoch, seed=1):
-            images = jnp.asarray(batch["images"])
-            targets = {k: jnp.asarray(v) for k, v in batch["targets"].items()}
+        for (images, targets), _ in prefetch_to_device(
+            ds.batches(epoch=epoch, seed=1), size=2
+        ):
             loss, state = step(state, images, targets)
             n_img += images.shape[0]
         jax.device_get(loss)

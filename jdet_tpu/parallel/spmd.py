@@ -262,3 +262,64 @@ def psum_scalar_metrics(metrics, mesh=None):
         else x,
         metrics,
     )
+
+
+def prefetch_to_device(batches, size=2):
+    """Overlap host batch prep + host->device transfer with device compute.
+
+    Wraps a `(batch, metas)` iterator (jdet_tpu.data CustomDataset.batches)
+    and yields `((images, targets), metas)` with the arrays already
+    converted on a worker thread, `size` batches ahead. On a tunneled or
+    PCIe-attached chip the H2D copy is tens of ms per 1024px uint8 batch;
+    serialized after each step it caps throughput (round-3
+    retinanet_loader_fed: 9.9 tiles/s vs 90 device-side) — pipelined it
+    rides under the previous step's compute. The TPU-native equivalent of
+    the reference's worker-process collate handoff
+    (jittor.dataset, data/custom.py:34-35).
+    """
+    import queue
+    import threading
+
+    q = queue.Queue(maxsize=max(1, int(size)))
+    _END = object()
+    stop = threading.Event()
+
+    def _put(item):
+        # bounded put that gives up if the consumer stopped early (a
+        # mid-epoch `break` must not leave a thread blocked forever)
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                pass
+        return False
+
+    def worker():
+        try:
+            for batch, metas in batches:
+                if stop.is_set():
+                    return
+                images = jnp.asarray(batch["images"])
+                targets = {
+                    k: jnp.asarray(v) for k, v in batch["targets"].items()
+                }
+                if not _put(((images, targets), metas)):
+                    return
+        except BaseException as e:  # surface in the consumer
+            _put(e)
+            return
+        _put(_END)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()

@@ -300,11 +300,13 @@ class Runner:
             self._build_train_step()
         start = time.time()
         n_img = 0
-        for batch, metas in self.train_dataset.batches(
-            epoch=self.epoch, seed=self.cfg.seed or 0
+        from ..parallel.spmd import prefetch_to_device
+
+        for (images, targets), metas in prefetch_to_device(
+            self.train_dataset.batches(epoch=self.epoch,
+                                       seed=self.cfg.seed or 0),
+            size=2,
         ):
-            images = jax.numpy.asarray(batch["images"])
-            targets = {k: jax.numpy.asarray(v) for k, v in batch["targets"].items()}
             self._state, log_vars = self._train_step(
                 self._state, images, targets, self._root_key,
                 jax.numpy.int32(self.iter),

@@ -96,6 +96,43 @@ def test_sharded_train_step_matches_single_device():
     assert checked
 
 
+def test_prefetch_to_device():
+    """Ordering, early-close (no leaked blocked thread), and exception
+    propagation of the H2D prefetch pipeline."""
+    import threading
+
+    from jdet_tpu.parallel.spmd import prefetch_to_device
+
+    def gen(n=5):
+        for i in range(n):
+            yield ({"images": np.full((2, 4, 4, 3), i, np.uint8),
+                    "targets": {"x": np.ones((2, 3), np.float32) * i}},
+                   [i, i])
+
+    out = list(prefetch_to_device(gen(), size=2))
+    assert len(out) == 5
+    assert float(out[3][0][0][0, 0, 0, 0]) == 3
+    assert float(out[2][0][1]["x"][0, 0]) == 2
+    assert out[4][1] == [4, 4]
+
+    n0 = threading.active_count()
+    g = prefetch_to_device(gen(), size=1)
+    next(g)
+    g.close()
+    import time as _t
+
+    _t.sleep(0.5)
+    assert threading.active_count() <= n0 + 1  # worker retired
+
+    def bad():
+        yield ({"images": np.zeros((1, 2, 2, 3), np.uint8),
+                "targets": {}}, [0])
+        raise ValueError("boom")
+
+    with pytest.raises(ValueError, match="boom"):
+        list(prefetch_to_device(bad(), size=2))
+
+
 def _tiny_s2anet(seed=0, feat=32):
     from jdet_tpu.models.builder import build_detector
 
