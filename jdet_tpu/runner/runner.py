@@ -375,9 +375,12 @@ class Runner:
             if getattr(self, "_predict_mesh", None) is not None
             else 1
         )
-        for batch, metas in dataset.batches():
-            images = jax.numpy.asarray(batch["images"])
-            sf = jax.numpy.asarray(batch["targets"]["scale_factor"])
+        from ..parallel.spmd import prefetch_to_device
+
+        for (images, targets), metas in prefetch_to_device(
+            dataset.batches(), size=2
+        ):
+            sf = targets["scale_factor"]
             if images.shape[0] % mesh_n:
                 # pad the (last) batch to mesh divisibility; padded rows
                 # have no meta entry so their detections are dropped

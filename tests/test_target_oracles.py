@@ -184,3 +184,55 @@ def test_midpoint_encode_matches_reference():
         prop.astype(np.float64), poly, hbb.astype(np.float64)
     )
     np.testing.assert_allclose(got, ref, atol=2e-3)
+
+
+def test_alignconv_offsets_match_reference():
+    """AlignConv offset field vs a numpy transcription of the reference's
+    per-anchor loop (s2anet_head.py:677-713): sampling-grid rotation,
+    stride normalization, (dy, dx) stacking order."""
+    from jdet_tpu.models.heads.s2anet_head import AlignConv
+    from flax import nnx
+
+    def oracle_np(anchors, feat_h, feat_w, stride, k=3):
+        # anchors (N, 5) for one image, N = feat_h * feat_w
+        pad = (k - 1) // 2
+        idx = np.arange(-pad, pad + 1, dtype=np.float32)
+        yy, xx = np.meshgrid(idx, idx, indexing="ij")
+        xx = xx.reshape(-1)
+        yy = yy.reshape(-1)
+        xc = np.arange(feat_w, dtype=np.float32)
+        yc = np.arange(feat_h, dtype=np.float32)
+        yc, xc = np.meshgrid(yc, xc, indexing="ij")
+        xc = xc.reshape(-1)
+        yc = yc.reshape(-1)
+        x_conv = xc[:, None] + xx
+        y_conv = yc[:, None] + yy
+        x_ctr, y_ctr, w, h, a = [anchors[:, i] for i in range(5)]
+        x_ctr, y_ctr, w, h = (x_ctr / stride, y_ctr / stride,
+                              w / stride, h / stride)
+        cos, sin = np.cos(a), np.sin(a)
+        dw, dh = w / k, h / k
+        x = dw[:, None] * xx
+        y = dh[:, None] * yy
+        xr = cos[:, None] * x - sin[:, None] * y
+        yr = sin[:, None] * x + cos[:, None] * y
+        x_anchor = xr + x_ctr[:, None]
+        y_anchor = yr + y_ctr[:, None]
+        off = np.stack([y_anchor - y_conv, x_anchor - x_conv], -1)
+        return off.reshape(feat_h, feat_w, k * k, 2)
+
+    H, W, stride = 5, 7, 8
+    B = 2
+    anchors = np.zeros((B, H, W, 5), np.float32)
+    anchors[..., 0] = RNG.rand(B, H, W) * W * stride
+    anchors[..., 1] = RNG.rand(B, H, W) * H * stride
+    anchors[..., 2] = 8 + RNG.rand(B, H, W) * 64
+    anchors[..., 3] = 8 + RNG.rand(B, H, W) * 64
+    anchors[..., 4] = (RNG.rand(B, H, W) - 0.5) * np.pi
+
+    ac = AlignConv(4, 4, 3, rngs=nnx.Rngs(0))
+    got = np.asarray(ac.get_offset(jnp.asarray(anchors), stride))
+    want = np.stack([
+        oracle_np(anchors[b].reshape(-1, 5), H, W, stride) for b in range(B)
+    ])
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
