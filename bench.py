@@ -50,6 +50,22 @@ def _timeit_train(step, state, images, targets, n):
     return (time.perf_counter() - t0) / n, state
 
 
+def _aot_compile(step, *args):
+    """Compile once ahead-of-time; the same executable serves both the
+    FLOPs estimate and the timed loop (a second trace+compile through the
+    jit cache costs minutes over the axon tunnel)."""
+    compiled = step.lower(*args).compile()
+    flops = 0.0
+    try:
+        c = compiled.cost_analysis()
+        if isinstance(c, list):
+            c = c[0]
+        flops = float(c.get("flops", 0.0))
+    except Exception:
+        pass
+    return compiled, flops
+
+
 def _train_fn(model, opt, graphdef, preprocess=None, augment=None):
     import jax
     from flax import nnx
@@ -76,16 +92,6 @@ def _train_fn(model, opt, graphdef, preprocess=None, augment=None):
 
     return step
 
-def _flops_of(step, *args):
-    try:
-        c = step.lower(*args).compile().cost_analysis()
-        if isinstance(c, list):
-            c = c[0]
-        return float(c.get("flops", 0.0))
-    except Exception:
-        return 0.0
-
-
 def bench_model(name, model_cfg, B, n_steps=12):
     import jax
     import optax
@@ -98,7 +104,7 @@ def bench_model(name, model_cfg, B, n_steps=12):
     graphdef, state = nnx.split((model, opt))
     images, targets = _synth_batch(B=B, size=1024)
     step = _train_fn(model, opt, graphdef)
-    flops = _flops_of(step, state, images, targets)
+    step, flops = _aot_compile(step, state, images, targets)
     dt, state = _timeit_train(step, state, images, targets, n_steps)
     mfu = flops / dt / V5E_BF16_PEAK if flops else None
 
@@ -269,9 +275,17 @@ def _run_row(name, timeout_s):
 
 def _row_main(name):
     """Child-process entry: run one row, print its JSON dict."""
+    import jax
     import jax.numpy as jnp
     from jdet_tpu.models.nn import set_compute_dtype
 
+    try:
+        # persistent compile cache: repeated bench runs (and re-runs after
+        # a row timeout) skip the multi-minute tunnel compiles
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     set_compute_dtype(jnp.bfloat16)
     if name == "retinanet_loader_fed":
         row = bench_loader_fed()
@@ -281,7 +295,31 @@ def _row_main(name):
     print(json.dumps(row))
 
 
+def _emit(matrix):
+    """Print the (possibly partial) scored JSON line."""
+    primary = matrix.get("retinanet_obb_r50", {}).get("train_tiles_per_s", 0.0)
+    print(
+        json.dumps(
+            {
+                "metric": "retinanet_obb_r50_train_tiles_per_sec_per_chip",
+                "value": primary,
+                "unit": "1024px_tiles/s/chip",
+                "vs_baseline": round(primary / R1_BASELINE - 1.0, 3)
+                if primary else 0.0,
+                "matrix": matrix,
+            }
+        ),
+        flush=True,
+    )
+
+
 def main():
+    # Global wall-clock budget: round 3's bench was killed by the driver
+    # (rc=124) before printing anything. Whatever the driver's timeout is,
+    # we must finish first — rows that don't fit the budget are skipped
+    # and recorded as such, and the JSON line always prints.
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "1200"))
+    t_start = time.perf_counter()
     matrix = {}
     specs = [
         ("retinanet_obb_r50", dict(
@@ -339,28 +377,32 @@ def main():
         }))
         return
 
-    # per-row timeout: compile (~40s) + 12 timed steps leaves wide margin;
-    # redet/loader rows are the slowest observed (~6 min round 3)
-    for name, _, _ in specs:
-        matrix[name] = _run_row(name, timeout_s=900)
-    matrix["retinanet_loader_fed"] = _run_row(
-        "retinanet_loader_fed", timeout_s=900
-    )
-    matrix["platform"] = platform
+    # Last line of defense: if the driver's timeout fires anyway, `timeout`
+    # sends SIGTERM first — emit whatever is measured so far before dying,
+    # so the tail always carries a parseable line.
+    import signal
 
-    primary = matrix.get("retinanet_obb_r50", {}).get("train_tiles_per_s", 0.0)
-    print(
-        json.dumps(
-            {
-                "metric": "retinanet_obb_r50_train_tiles_per_sec_per_chip",
-                "value": primary,
-                "unit": "1024px_tiles/s/chip",
-                "vs_baseline": round(primary / R1_BASELINE - 1.0, 3)
-                if primary else 0.0,
-                "matrix": matrix,
-            }
-        )
-    )
+    def _on_term(signum, frame):
+        matrix["interrupted"] = "SIGTERM (driver timeout)"
+        matrix["platform"] = platform
+        _emit(matrix)
+        os._exit(0)
+
+    signal.signal(signal.SIGTERM, _on_term)
+
+    # per-row timeout: compile (~40s) + 12 timed steps leaves wide margin;
+    # redet/loader rows are the slowest observed (~6 min round 3). Rows run
+    # in priority order (primary metric first) and are skipped once the
+    # global budget would be exceeded.
+    row_names = [name for name, _, _ in specs] + ["retinanet_loader_fed"]
+    for name in row_names:
+        remaining = budget_s - (time.perf_counter() - t_start)
+        if remaining < 90:
+            matrix[name] = {"skipped": "global bench budget exhausted"}
+            continue
+        matrix[name] = _run_row(name, timeout_s=min(900, remaining - 30))
+    matrix["platform"] = platform
+    _emit(matrix)
 
 
 if __name__ == "__main__":

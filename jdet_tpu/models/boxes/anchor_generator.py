@@ -1,8 +1,12 @@
-"""Anchor generation for rotated detectors — trace-time numpy, fixed shapes.
+"""Anchor generation for rotated detectors — iota-built on device, fixed shapes.
 
-Feature-map sizes are static under jit, so anchor grids are pure constants:
-we generate them with numpy at trace time and let XLA fold them into the
-compiled graph (no device-side meshgrid work per step).
+Feature-map sizes are static under jit, so anchor grids are compile-time
+constants *semantically* — but materializing them as numpy constants bloats
+the serialized HLO (an ORCNN train graph carried ~16 MB of anchor tables,
+dominating trace/upload/compile time over the device tunnel). Instead,
+`grid_anchors` builds the grid inside the trace from two `iota`s plus the
+tiny (A, 5) base-anchor constant; XLA folds or streams it as it sees fit
+while the program text stays small.
 
 Semantics mirror the reference generators
 (`python/jdet/models/boxes/anchor_generator.py`):
@@ -96,9 +100,35 @@ class AnchorGeneratorRotated:
         ).astype(np.float32)
         return out
 
-    @functools.lru_cache(maxsize=64)
     def grid_anchors(self, featmap_size, stride):
-        """(H*W*A, 5) anchors for a feature map; cached per (size, stride)."""
+        """(H*W*A, 5) jnp anchors for a feature map, built from iotas.
+
+        Not cached: under jit the result is a tracer bound to the active
+        trace (caching would leak it); the handful of jnp ops re-trace for
+        free. Use `grid_anchors_np` for an eager numpy table.
+        """
+        import jax.numpy as jnp
+
+        feat_h, feat_w = featmap_size
+        sx = jnp.arange(feat_w, dtype=jnp.float32) * stride
+        sy = jnp.arange(feat_h, dtype=jnp.float32) * stride
+        zeros = jnp.zeros((feat_h, feat_w), jnp.float32)
+        shifts = jnp.stack(
+            [
+                jnp.broadcast_to(sx[None, :], (feat_h, feat_w)),
+                jnp.broadcast_to(sy[:, None], (feat_h, feat_w)),
+                zeros,
+                zeros,
+                zeros,
+            ],
+            axis=-1,
+        ).reshape(-1, 1, 5)
+        base = jnp.asarray(self.base_anchors)  # (A, 5) tiny constant
+        return (shifts + base[None]).reshape(-1, 5)
+
+    @functools.lru_cache(maxsize=64)
+    def grid_anchors_np(self, featmap_size, stride):
+        """Eager numpy variant of `grid_anchors` (host-side consumers)."""
         feat_h, feat_w = featmap_size
         shift_x = np.arange(feat_w, dtype=np.float32) * stride
         shift_y = np.arange(feat_h, dtype=np.float32) * stride
@@ -262,8 +292,23 @@ class AnchorGeneratorHBB:
             axis=-1,
         ).astype(np.float32)
 
-    @functools.lru_cache(maxsize=64)
     def grid_anchors(self, featmap_size, level):
+        """(H*W*A, 4) jnp xyxy anchors, iota-built (see rotated variant)."""
+        import jax.numpy as jnp
+
+        feat_h, feat_w = featmap_size
+        sw, sh = self.strides[level]
+        sx = jnp.arange(feat_w, dtype=jnp.float32) * sw
+        sy = jnp.arange(feat_h, dtype=jnp.float32) * sh
+        sxg = jnp.broadcast_to(sx[None, :], (feat_h, feat_w))
+        syg = jnp.broadcast_to(sy[:, None], (feat_h, feat_w))
+        shifts = jnp.stack([sxg, syg, sxg, syg], axis=-1).reshape(-1, 1, 4)
+        base = jnp.asarray(self.base_anchors[level])
+        return (shifts + base[None]).reshape(-1, 4)
+
+    @functools.lru_cache(maxsize=64)
+    def grid_anchors_np(self, featmap_size, level):
+        """Eager numpy variant of `grid_anchors` (host-side consumers)."""
         feat_h, feat_w = featmap_size
         sw, sh = self.strides[level]
         shift_x = np.arange(feat_w, dtype=np.float32) * sw
@@ -278,9 +323,11 @@ class AnchorGeneratorHBB:
 
 
 def multi_level_grid_anchors(generators, featmap_sizes, strides):
-    """Concatenate per-level rotated anchors -> (sum_l Hl*Wl*A, 5) numpy."""
+    """Concatenate per-level rotated anchors -> (sum_l Hl*Wl*A, 5) jnp."""
+    import jax.numpy as jnp
+
     outs = [
         gen.grid_anchors(tuple(fs), stride)
         for gen, fs, stride in zip(generators, featmap_sizes, strides)
     ]
-    return np.concatenate(outs, axis=0)
+    return jnp.concatenate(outs, axis=0)

@@ -168,7 +168,7 @@ class RotatedRetinaHead(nnx.Module):
                 self.anchor_generators, featmap_sizes, self.anchor_strides
             )
         ]
-        return np.concatenate(anchors, 0)
+        return jnp.concatenate(anchors, 0)
 
     def _reg_to_deltas(self, reg, b):
         """Per-level regression map -> (b, A, 5) deltas (hook for

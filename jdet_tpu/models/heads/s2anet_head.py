@@ -276,7 +276,7 @@ class S2ANetHead(nnx.Module):
 
     # ------------------------------------------------------------------
     def _flat_init_anchors(self, featmap_sizes):
-        return np.concatenate(
+        return jnp.concatenate(
             [
                 gen.grid_anchors(tuple(fs), s)
                 for gen, fs, s in zip(
