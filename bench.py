@@ -230,6 +230,46 @@ def bench_loader_fed(n_tiles=24, B=4):
 SPECS = None  # filled below; (name, cfg, batch) rows for bench_model
 
 
+def build_specs():
+    """(name, model_cfg, batch) rows of the bench matrix. Module-level so
+    tools (profile_row.py) can rebuild the exact benched models."""
+    return [
+        ("retinanet_obb_r50", dict(
+            type="RotatedRetinaNet",
+            backbone=dict(type="ResNet", depth=50, frozen_stages=1),
+            neck=dict(type="FPN", out_channels=256, num_outs=5, start_level=1,
+                      add_extra_convs="on_input"),
+            bbox_head=dict(type="RotatedRetinaHead", num_classes=16,
+                           in_channels=256),
+        ), 32),
+        ("s2anet_r50", dict(
+            type="S2ANet",
+            backbone=dict(type="ResNet", depth=50, frozen_stages=1),
+            neck=dict(type="FPN", out_channels=256, num_outs=5, start_level=1,
+                      add_extra_convs="on_input"),
+            bbox_head=dict(type="S2ANetHead", num_classes=16, in_channels=256,
+                           feat_channels=256, stacked_convs=2),
+        ), 8),
+        ("oriented_rcnn_r50", dict(
+            type="OrientedRCNN",
+            backbone=dict(type="ResNet", depth=50, frozen_stages=1),
+            neck=dict(type="FPN", out_channels=256, num_outs=5),
+            rpn_head=dict(type="OrientedRPNHead", in_channels=256,
+                          feat_channels=256),
+            bbox_head=dict(type="OrientedHead", num_classes=15,
+                           in_channels=256),
+        ), 4),
+        ("redet_re50", dict(
+            type="ReDet",
+            backbone=dict(type="ReResNet", depth=50, base_fields=8,
+                          frozen_stages=1),  # reference config parity
+            neck=dict(type="ReFPN", out_channels=256, num_outs=5),
+            rpn_head=dict(type="RPNHead", in_channels=256, feat_channels=256),
+            bbox_head=dict(type="ReDetHead", num_classes=15, in_channels=256),
+        ), 2),
+    ]
+
+
 def _probe_tpu(timeout_s=240):
     """Initialize the accelerator backend in a SUBPROCESS with a hard
     timeout. The axon tunnel can die in a way that makes jax.devices()
@@ -321,41 +361,7 @@ def main():
     budget_s = float(os.environ.get("BENCH_BUDGET_S", "1200"))
     t_start = time.perf_counter()
     matrix = {}
-    specs = [
-        ("retinanet_obb_r50", dict(
-            type="RotatedRetinaNet",
-            backbone=dict(type="ResNet", depth=50, frozen_stages=1),
-            neck=dict(type="FPN", out_channels=256, num_outs=5, start_level=1,
-                      add_extra_convs="on_input"),
-            bbox_head=dict(type="RotatedRetinaHead", num_classes=16,
-                           in_channels=256),
-        ), 32),
-        ("s2anet_r50", dict(
-            type="S2ANet",
-            backbone=dict(type="ResNet", depth=50, frozen_stages=1),
-            neck=dict(type="FPN", out_channels=256, num_outs=5, start_level=1,
-                      add_extra_convs="on_input"),
-            bbox_head=dict(type="S2ANetHead", num_classes=16, in_channels=256,
-                           feat_channels=256, stacked_convs=2),
-        ), 8),
-        ("oriented_rcnn_r50", dict(
-            type="OrientedRCNN",
-            backbone=dict(type="ResNet", depth=50, frozen_stages=1),
-            neck=dict(type="FPN", out_channels=256, num_outs=5),
-            rpn_head=dict(type="OrientedRPNHead", in_channels=256,
-                          feat_channels=256),
-            bbox_head=dict(type="OrientedHead", num_classes=15,
-                           in_channels=256),
-        ), 4),
-        ("redet_re50", dict(
-            type="ReDet",
-            backbone=dict(type="ReResNet", depth=50, base_fields=8,
-                          frozen_stages=1),  # reference config parity
-            neck=dict(type="ReFPN", out_channels=256, num_outs=5),
-            rpn_head=dict(type="RPNHead", in_channels=256, feat_channels=256),
-            bbox_head=dict(type="ReDetHead", num_classes=15, in_channels=256),
-        ), 2),
-    ]
+    specs = build_specs()
     global SPECS
     SPECS = specs
 

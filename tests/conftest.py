@@ -13,8 +13,11 @@ import jax  # noqa: E402
 
 # The environment's sitecustomize registers the axon TPU plugin and forces
 # jax_platforms to it; override at the config level (env vars are ignored
-# once the plugin hook has run).
-jax.config.update("jax_platforms", "cpu")
+# once the plugin hook has run). JDET_TPU_TESTS=1 keeps the real chip so
+# the @pytest.mark.tpu hardware-parity tests can run:
+#   JDET_TPU_TESTS=1 python -m pytest tests -m tpu
+if not os.environ.get("JDET_TPU_TESTS"):
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
 import pytest  # noqa: E402

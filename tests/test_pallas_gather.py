@@ -87,6 +87,28 @@ def test_scatter_modes_match_plain(mode):
     np.testing.assert_allclose(gw_m, gw_p, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.tpu
+def test_pallas_hardware_matches_xla():
+    """Real-hardware parity at the default block size (ADVICE r3: the
+    kernel's SMEM idx layout + DMA semaphore round-robin are exercised
+    only here — must pass before enable_pallas_gather(True) ships)."""
+    if jax.default_backend() not in ("tpu", "axon"):
+        pytest.skip("needs a real TPU")
+    table, idx, w = _case(S=3000, T=512, J=4, C=256, dtype=np.float32)
+    got = _pallas_gather_weighted(table, idx, w)  # block_rows=1024 default
+    want = _xla_gather_weighted(table, idx, w)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+    # bf16 path (the production compute dtype)
+    tb = table.astype(jnp.bfloat16)
+    got = _pallas_gather_weighted(tb, idx, w.astype(jnp.bfloat16))
+    want = _xla_gather_weighted(tb, idx, w.astype(jnp.bfloat16))
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        rtol=2e-2, atol=2e-2,
+    )
+
+
 def test_dw_branch_dce_when_w_stopgrad():
     # With w stop-gradded, the backward's re-gather must be dead-code
     # eliminated: the optimized HLO contains exactly one gather
