@@ -132,9 +132,14 @@ def bench_model(name, model_cfg, B, n_steps=12):
     return row
 
 
-def bench_loader_fed(n_tiles=24, B=4):
+def bench_loader_fed(n_tiles=96, B=32):
     """Real input pipeline (disk -> decode -> transforms -> collate)
-    feeding the retinanet train step."""
+    feeding the retinanet train step.
+
+    B matches the device-only retinanet row so tiles/s are directly
+    comparable (rounds 2-3 ran B=4, where the number measured small-batch
+    device underutilization — ~620 ms/step at B=4 vs 357 ms at B=32 —
+    rather than the host pipeline)."""
     import cv2
     import jax
     import jax.numpy as jnp
@@ -143,7 +148,7 @@ def bench_loader_fed(n_tiles=24, B=4):
     from __graft_entry__ import _build_model
     from jdet_tpu.data.dota import DOTADataset
 
-    root = "/tmp/bench_loader_tiles"
+    root = f"/tmp/bench_loader_tiles_{n_tiles}"
     img_dir = os.path.join(root, "images")
     ann = os.path.join(root, "labels.pkl")
     if not os.path.exists(ann):
@@ -358,7 +363,7 @@ def main():
     # (rc=124) before printing anything. Whatever the driver's timeout is,
     # we must finish first — rows that don't fit the budget are skipped
     # and recorded as such, and the JSON line always prints.
-    budget_s = float(os.environ.get("BENCH_BUDGET_S", "1200"))
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "1500"))
     t_start = time.perf_counter()
     matrix = {}
     specs = build_specs()
@@ -396,11 +401,16 @@ def main():
 
     signal.signal(signal.SIGTERM, _on_term)
 
-    # per-row timeout: compile (~40s) + 12 timed steps leaves wide margin;
-    # redet/loader rows are the slowest observed (~6 min round 3). Rows run
-    # in priority order (primary metric first) and are skipped once the
-    # global budget would be exceeded.
-    row_names = [name for name, _, _ in specs] + ["retinanet_loader_fed"]
+    # Per-row cost is dominated by REMOTE compile over the device tunnel
+    # (~3 min per jit program; measured round 4: retinanet row 7 min,
+    # s2anet 6, oriented_rcnn 7, loader_fed ~8, redet ~20 — local CPU
+    # <25 s in every case, and neither the local persistent cache nor the
+    # service caches across processes). Rows run in priority order
+    # (primary metric first, redet last — it alone exceeds most budgets)
+    # and are skipped once the global budget would be exceeded; a driver
+    # SIGTERM still emits the partial matrix.
+    row_names = [name for name, _, _ in specs if name != "redet_re50"]
+    row_names += ["retinanet_loader_fed", "redet_re50"]
     for name in row_names:
         remaining = budget_s - (time.perf_counter() - t_start)
         if remaining < 90:
