@@ -10,18 +10,43 @@ Call `set_compute_dtype(jnp.bfloat16)` BEFORE building a model.
 """
 from __future__ import annotations
 
+import contextlib
+
 from flax import nnx
 
 _COMPUTE_DTYPE = None  # None -> flax default promotion (float32)
 
 
 def set_compute_dtype(dtype):
+    """Set the global compute dtype; returns the previous value.
+
+    The return value lets callers restore the prior policy
+    (`prev = set_compute_dtype(bf16); ...; set_compute_dtype(prev)`);
+    use `compute_dtype_scope` for the exception-safe form.
+    """
     global _COMPUTE_DTYPE
+    prev = _COMPUTE_DTYPE
     _COMPUTE_DTYPE = dtype
+    return prev
 
 
 def compute_dtype():
     return _COMPUTE_DTYPE
+
+
+@contextlib.contextmanager
+def compute_dtype_scope(dtype):
+    """Temporarily set the compute dtype; restores the prior value on exit.
+
+    Model layers bind the dtype at construction time, so the scope only
+    needs to cover model building — an already-built model keeps its
+    policy after the scope exits.
+    """
+    prev = set_compute_dtype(dtype)
+    try:
+        yield
+    finally:
+        set_compute_dtype(prev)
 
 
 def Conv(*args, **kw):

@@ -41,6 +41,21 @@ _QUICK_MODULES = {
 _SLOW_MODULES = {"test_golden_loss", "test_overfit_map"}
 
 
+@pytest.fixture(autouse=True)
+def _isolate_compute_dtype():
+    """Snapshot/restore the process-global mixed-precision policy.
+
+    Any test that builds a model under `set_compute_dtype(bf16)` (e.g. the
+    dryrun entry test) must not leak the policy into later-imported tests —
+    bit-exactness asserts elsewhere assume the float32 default.
+    """
+    from jdet_tpu.models import nn as _nn
+
+    prev = _nn.compute_dtype()
+    yield
+    _nn.set_compute_dtype(prev)
+
+
 def pytest_collection_modifyitems(config, items):
     for item in items:
         mod = item.module.__name__.rsplit(".", 1)[-1]
