@@ -325,8 +325,10 @@ def _row_main(name):
     from jdet_tpu.models.nn import set_compute_dtype
 
     try:
-        # persistent compile cache: repeated bench runs (and re-runs after
-        # a row timeout) skip the multi-minute tunnel compiles
+        # persistent compile cache: best-effort only — on the axon backend
+        # neither this local cache nor the service caches across processes
+        # (compiles are remote; see BENCH_LOCAL_r04.json note), but it is
+        # harmless and pays off on backends that do honor it (cpu/tpu-vm)
         jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
@@ -396,6 +398,7 @@ def main():
     def _on_term(signum, frame):
         matrix["interrupted"] = "SIGTERM (driver timeout)"
         matrix["platform"] = platform
+        matrix["budget_s"] = budget_s
         _emit(matrix)
         os._exit(0)
 
@@ -409,15 +412,32 @@ def main():
     # (primary metric first, redet last — it alone exceeds most budgets)
     # and are skipped once the global budget would be exceeded; a driver
     # SIGTERM still emits the partial matrix.
-    row_names = [name for name, _, _ in specs if name != "redet_re50"]
-    row_names += ["retinanet_loader_fed", "redet_re50"]
-    for name in row_names:
+    # (name, rough wall-clock cost estimate in s — round-4 measurements
+    # above). A row whose estimate exceeds the remaining per-row timeout is
+    # skipped up front instead of launched into a guaranteed timeout that
+    # burns the budget of the rows after it (ADVICE r4).
+    row_costs = [
+        ("retinanet_obb_r50", 420),
+        ("s2anet_r50", 360),
+        ("oriented_rcnn_r50", 420),
+        ("retinanet_loader_fed", 480),
+        ("redet_re50", 1200),
+    ]
+    for name, est_s in row_costs:
         remaining = budget_s - (time.perf_counter() - t_start)
-        if remaining < 90:
-            matrix[name] = {"skipped": "global bench budget exhausted"}
+        row_timeout = min(900, remaining - 30)
+        if remaining < 90 or est_s > row_timeout:
+            matrix[name] = {
+                "skipped": f"est ~{est_s}s exceeds remaining budget "
+                           f"({remaining:.0f}s left)"
+            }
             continue
-        matrix[name] = _run_row(name, timeout_s=min(900, remaining - 30))
+        t_row = time.perf_counter()
+        matrix[name] = _run_row(name, timeout_s=row_timeout)
+        if isinstance(matrix[name], dict):
+            matrix[name]["wall_s"] = round(time.perf_counter() - t_row, 1)
     matrix["platform"] = platform
+    matrix["budget_s"] = budget_s
     _emit(matrix)
 
 

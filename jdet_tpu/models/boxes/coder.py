@@ -194,7 +194,10 @@ class CSLCoder:
     def encode(self, angle):
         """angle (..., ) rad -> (..., coding_len) smooth circular labels."""
         deg = jnp.degrees(angle)
-        center = jnp.floor((deg + self.angle_offset) / self.omega)
+        # reference uses `.long()` = truncation toward zero (coder.py:555);
+        # identical to floor on the head's domain (deg+45 >= 0) but kept
+        # exact for out-of-range inputs
+        center = jnp.trunc((deg + self.angle_offset) / self.omega)
         bins = jnp.arange(self.coding_len, dtype=angle.dtype)
         d = bins[None, :] - center[..., None]
         d = (d + self.coding_len / 2) % self.coding_len - self.coding_len / 2
@@ -206,7 +209,11 @@ class CSLCoder:
                 1.0 - jnp.abs(d) / self.radius, 0.0,
             )
         elif self.window == "rect":
-            smooth = (jnp.abs(d) < self.radius).astype(angle.dtype)
+            # reference window support is [-radius, radius): the scatter
+            # range is arange(-radius, radius) (coder.py:563-566)
+            smooth = ((d >= -self.radius) & (d < self.radius)).astype(
+                angle.dtype
+            )
         else:  # pulse
             smooth = (jnp.abs(d) < 0.5).astype(angle.dtype)
         return smooth
