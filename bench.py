@@ -148,7 +148,14 @@ def bench_loader_fed(n_tiles=96, B=32):
     from __graft_entry__ import _build_model
     from jdet_tpu.data.dota import DOTADataset
 
-    root = f"/tmp/bench_loader_tiles_{n_tiles}"
+    # Structured synthetic tiles (smooth background + the GT objects drawn
+    # as filled rotated rectangles), NOT uniform noise. The axon tunnel
+    # compresses transfers: H2D of a 100 MB uint8 batch measured 0.15 s
+    # for image-like tiles vs 7.5 s for incompressible noise (round-5
+    # probe, docs/performance.md "Host input pipeline") — noise tiles
+    # benchmark the tunnel's worst case rather than the input pipeline,
+    # and real DOTA imagery is jpeg-compressible like these.
+    root = f"/tmp/bench_loader_tiles_v2_{n_tiles}"
     img_dir = os.path.join(root, "images")
     ann = os.path.join(root, "labels.pkl")
     if not os.path.exists(ann):
@@ -158,14 +165,25 @@ def bench_loader_fed(n_tiles=96, B=32):
         rng = np.random.RandomState(0)
         infos = []
         for i in range(n_tiles):
-            img = (rng.rand(1024, 1024, 3) * 255).astype(np.uint8)
-            name = f"t{i:03d}.jpg"  # jpg: png-decode of noise is pathological
-            cv2.imwrite(os.path.join(img_dir, name), img)
+            base = np.full((1024, 1024, 3), rng.randint(60, 180, 3), np.uint8)
+            coarse = rng.randn(128, 128, 3).repeat(8, 0).repeat(8, 1) * 10
+            img = cv2.GaussianBlur(
+                np.clip(base + coarse, 0, 255).astype(np.uint8), (0, 0), 3
+            )
             k = 8
             rb = np.stack([
                 rng.uniform(100, 900, k), rng.uniform(100, 900, k),
                 rng.uniform(20, 200, k), rng.uniform(10, 100, k),
                 rng.uniform(-np.pi / 4, 3 * np.pi / 4, k)], 1).astype(np.float32)
+            for cx, cy, w, h, a in rb:
+                quad = cv2.boxPoints(
+                    ((float(cx), float(cy)), (float(w), float(h)),
+                     float(np.degrees(a)))
+                ).astype(np.int32)
+                cv2.fillPoly(img, [quad],
+                             tuple(int(c) for c in rng.randint(0, 255, 3)))
+            name = f"t{i:03d}.jpg"
+            cv2.imwrite(os.path.join(img_dir, name), img)
             infos.append({"filename": name, "width": 1024, "height": 1024,
                           "ann": {"bboxes": rb,
                                   "labels": rng.randint(1, 16, k).astype(np.int32),

@@ -307,3 +307,105 @@ def atss_assign_rotated(
     else:
         labels = jnp.where(assigned > 0, 1, 0).astype(jnp.int32)
     return {"gt_inds": assigned, "max_overlaps": max_overlaps, "labels": labels}
+
+
+def convex_assign_init(
+    centers, pt_lvls, gt_polys, gt_mask, pos_num=1, scale=4.0
+):
+    """ConvexAssigner (reference assigner.py:394-551) in masked fixed shape.
+
+    Per gt: pick a pyramid level from the log2 size of its horizontal
+    bbox, take the `pos_num` centers on that level nearest the gt center
+    (distance normalized by the gt's w/h), and assign each to the gt —
+    unless an earlier-processed gt already claims the point at a strictly
+    smaller distance (assigner.py:502-538). First-occurrence argmin over
+    candidate distances reproduces the sequential strict-< steal rule.
+
+    Args:
+      centers: (n, 2) point centers across all levels.
+      pt_lvls: (n,) float/int — log2(stride) per point
+        (assigner.py:483-485).
+      gt_polys: (k, 8) gt quads (padded).
+      gt_mask: (k,) bool.
+
+    Returns dict:
+      gt_inds (n,) int32 0/1-based, pos_mask (n,) bool,
+      cand_idx (k, pos_num) int32 point index of each gt's candidates,
+      cand_win (k, pos_num) bool — candidate actually assigned to this gt
+      (the fixed positive budget for the init-stage GIoU loss).
+    """
+    k = gt_polys.shape[0]
+    n = centers.shape[0]
+    lvl_min = pt_lvls.min()
+    lvl_max = pt_lvls.max()
+
+    xs = gt_polys[:, 0::2]
+    ys = gt_polys[:, 1::2]
+    gx = (xs.min(1) + xs.max(1)) * 0.5
+    gy = (ys.min(1) + ys.max(1)) * 0.5
+    gw = jnp.clip(xs.max(1) - xs.min(1), 1e-6, None)
+    gh = jnp.clip(ys.max(1) - ys.min(1), 1e-6, None)
+    # reference `.int()` truncates toward zero (assigner.py:495-497)
+    gt_lvl = jnp.trunc(
+        (jnp.log2(gw / scale) + jnp.log2(gh / scale)) / 2.0
+    )
+    gt_lvl = jnp.clip(gt_lvl, lvl_min, lvl_max)
+
+    d = jnp.sqrt(
+        ((centers[None, :, 0] - gx[:, None]) / gw[:, None]) ** 2
+        + ((centers[None, :, 1] - gy[:, None]) / gh[:, None]) ** 2
+    )  # (k, n)
+    on_lvl = pt_lvls[None, :] == gt_lvl[:, None]
+    d = jnp.where(on_lvl & gt_mask[:, None], d, jnp.inf)
+
+    neg_d, cand_idx = jax.lax.top_k(-d, pos_num)  # (k, pos_num)
+    cand_d = -neg_d
+    cand_ok = jnp.isfinite(cand_d)
+    # sparse candidate-distance matrix; non-candidates stay inf
+    sparse = jnp.full((k, n), jnp.inf, d.dtype)
+    sparse = sparse.at[
+        jnp.arange(k)[:, None], cand_idx
+    ].set(jnp.where(cand_ok, cand_d, jnp.inf))
+    owner = sparse.argmin(0).astype(jnp.int32)  # earliest gt wins ties
+    dmin = sparse.min(0)
+    pos_mask = jnp.isfinite(dmin)
+    gt_inds = jnp.where(pos_mask, owner + 1, 0)
+    cand_win = cand_ok & (owner[cand_idx] == jnp.arange(k)[:, None])
+    return {
+        "gt_inds": gt_inds,
+        "pos_mask": pos_mask,
+        "cand_idx": cand_idx.astype(jnp.int32),
+        "cand_win": cand_win,
+    }
+
+
+def max_convex_iou_assign(
+    pointsets,
+    gt_polys,
+    gt_mask,
+    gt_labels=None,
+    pos_iou_thr=0.4,
+    neg_iou_thr=0.3,
+    min_pos_iou=0.0,
+    iou_chunk=512,
+):
+    """MaxConvexIoUAssigner (reference assigner.py:551-611): standard
+    MaxIoU threshold assignment driven by the convex IoU of predicted
+    point hulls vs gt quads (ConvexOverlaps, iou_calculator.py:200).
+
+    pointsets (n, 18); gt_polys (k, 8) padded; thresholds default to the
+    shipped rotated_reppoints config (configs/...reppoints...py:49-54).
+    """
+    from ...ops.convex import convex_iou_chunked
+
+    overlaps = convex_iou_chunked(
+        jax.lax.stop_gradient(pointsets), gt_polys, chunk=iou_chunk
+    ).T  # (k, n)
+    return assign_wrt_overlaps(
+        overlaps,
+        gt_mask,
+        gt_labels=gt_labels,
+        pos_iou_thr=pos_iou_thr,
+        neg_iou_thr=neg_iou_thr,
+        min_pos_iou=min_pos_iou,
+    )

@@ -7,13 +7,18 @@ refine stage; positives are supervised with the convex GIoU of the point
 hull vs the gt quad (losses/convex_giou_loss.py); detection converts point
 sets to boxes via the min-area enclosing rect (reppoints_min_area_bbox).
 
-Fixed-shape redesign notes: the reference's ConvexAssigner /
-MaxConvexIoUAssigner produce variable positives per gt; here each gt
-claims its best point location per stage — the closest center on the
-scale-matched level for init (ConvexAssigner's center rule,
-models/boxes/assigner.py:394), the max-(approximate)-IoU location for
-refine — giving a (B, K) positive set that keeps the convex-GIoU loss
-(the expensive exact-geometry part) on a small fixed budget.
+Fixed-shape redesign notes: assignment follows the reference semantics
+exactly — ConvexAssigner for init (per gt, the `pos_num` nearest centers
+on the scale-matched level, conflicts resolved by strictly-smaller
+normalized distance; models/boxes/assigner.py:394-551) and
+MaxConvexIoUAssigner for refine (threshold assignment on the convex IoU
+of every detached init point hull vs every gt quad,
+assigner.py:551-611) — re-expressed as masked dense ops
+(jdet_tpu.models.boxes.assigner.convex_assign_init /
+max_convex_iou_assign, oracle-locksteped in tests/test_target_oracles).
+The only fixed-shape concession: the refine-stage GIoU loss reads its
+positives through a static `refine_pos_budget` top-IoU selection (the
+classification loss still sees every positive/negative/ignore point).
 """
 from __future__ import annotations
 
@@ -26,10 +31,10 @@ from flax import nnx
 
 from .. import nn as jnn
 from ..layers import ConvModule, bias_init_with_prob, normal_init
+from ..boxes.assigner import convex_assign_init, max_convex_iou_assign
 from ..losses import sigmoid_focal_loss
 from ...ops.convex import convex_giou, min_area_rect
 from ...ops.box_convert import rbox_to_poly
-from ...ops.box_iou_rotated import box_iou_rotated_aligned
 from ...ops.nms_rotated import multiclass_nms_rotated
 from ...utils.registry import HEADS
 
@@ -50,6 +55,10 @@ class RotatedRepPointsHead(nnx.Module):
         loss_cls=dict(gamma=2.0, alpha=0.25, loss_weight=1.0),
         loss_bbox_init=dict(loss_weight=0.375),
         loss_bbox_refine=dict(loss_weight=1.0),
+        point_base_scale=4,
+        init_pos_num=1,
+        refine_assign=dict(pos_iou_thr=0.4, neg_iou_thr=0.3, min_pos_iou=0.0),
+        refine_pos_budget=None,
         test_cfg=None,
         *,
         rngs: nnx.Rngs,
@@ -62,6 +71,10 @@ class RotatedRepPointsHead(nnx.Module):
         self.loss_cls_cfg = dict(loss_cls)
         self.loss_init_cfg = dict(loss_bbox_init)
         self.loss_refine_cfg = dict(loss_bbox_refine)
+        self.point_base_scale = point_base_scale
+        self.init_pos_num = init_pos_num
+        self.refine_assign_cfg = dict(refine_assign)
+        self.refine_pos_budget = refine_pos_budget
         self.test_cfg = {
             **dict(nms_pre=2000, score_thr=0.05, nms_iou_thr=0.1,
                    max_per_img=2000),
@@ -165,12 +178,6 @@ class RotatedRepPointsHead(nnx.Module):
                  for s, p in zip(self.strides, pts_list)]
             )
         )
-        ranges = jnp.asarray(
-            np.concatenate(
-                [np.tile(np.asarray(r, np.float32), (len(p), 1))
-                 for r, p in zip(self.scale_ranges, pts_list)]
-            )
-        )
         B = outs[0][0].shape[0]
         cls = jnp.concatenate(
             [o[0].reshape(B, -1, self.num_classes) for o in outs], 1
@@ -190,62 +197,73 @@ class RotatedRepPointsHead(nnx.Module):
         K = gt.shape[1]
         gt_polys = rbox_to_poly(gt)
 
-        # ---- init assignment: per gt, the closest scale-matched center
-        scale = jnp.sqrt(jnp.maximum(gt[..., 2] * gt[..., 3], 1e-6))
-        d = jnp.linalg.norm(
-            centers[None, None] - gt[..., None, :2], axis=-1
-        )  # (B, K, A)
-        in_range = (
-            (scale[..., None] >= ranges[None, None, :, 0])
-            & (scale[..., None] < ranges[None, None, :, 1])
-        )
-        d = jnp.where(in_range, d, 1e18)
-        best_init = d.argmin(-1)  # (B, K)
+        A = cls.shape[1]
+        pts_i_flat = pts_i.reshape(B, A, 2 * self.num_points)
+        pts_r_flat = pts_r.reshape(B, A, 2 * self.num_points)
 
-        # ---- refine assignment: max rotated IoU of init min-area rects
-        rects_i = min_area_rect(
-            jax.lax.stop_gradient(pts_i).reshape(-1, self.num_points, 2)
-        ).reshape(B, -1, 5)
-        iou = jax.vmap(
-            lambda r, g: box_iou_rotated_aligned(
-                r[:, None, :].repeat(K, 1), g[None].repeat(r.shape[0], 0)
+        # ---- init assignment: ConvexAssigner reference semantics
+        pt_lvls = jnp.log2(strides_pts)
+        assign_i = jax.vmap(
+            lambda gp, gm: convex_assign_init(
+                centers, pt_lvls, gp, gm,
+                pos_num=self.init_pos_num, scale=self.point_base_scale,
             )
-        )(rects_i, gt)  # (B, A, K)
-        best_refine = iou.argmax(1)  # (B, K)
-        refine_ok = jnp.take_along_axis(
-            iou, best_refine[:, None, :], 1
-        )[:, 0, :] > 0.1
+        )(gt_polys, gt_mask)
+        cand_idx = assign_i["cand_idx"]  # (B, K, P)
+        cand_win = assign_i["cand_win"]  # (B, K, P)
+        P = cand_idx.shape[-1]
 
-        def gather_pts(pts, idx):
-            return jnp.take_along_axis(
-                pts.reshape(B, -1, 2 * self.num_points), idx[..., None], 1
+        # ---- refine assignment: MaxConvexIoU over detached init hulls
+        assign_r = jax.vmap(
+            lambda ps, gp, gm, gl: max_convex_iou_assign(
+                ps, gp, gm, gl, **self.refine_assign_cfg
             )
+        )(pts_i_flat, gt_polys, gt_mask, gt_labels)
+        gt_inds_r = assign_r["gt_inds"]  # (B, A): -1 ignore / 0 / 1-based
 
-        pos_i = gather_pts(pts_i, best_init).reshape(B * K, -1)
-        pos_r = gather_pts(pts_r, best_refine).reshape(B * K, -1)
-        polys_flat = gt_polys.reshape(B * K, 8)
-        w_init = gt_mask.reshape(-1).astype(cls.dtype)
-        w_ref = (gt_mask & refine_ok).reshape(-1).astype(cls.dtype)
-        num_pos = jnp.maximum(gt_mask.sum(), 1).astype(cls.dtype)
-
-        gl_i = (1 - convex_giou(pos_i, polys_flat)) * w_init
-        gl_r = (1 - convex_giou(pos_r, polys_flat)) * w_ref
-        loss_init = gl_i.sum() / num_pos * self.loss_init_cfg.get(
-            "loss_weight", 0.375
+        # ---- init GIoU loss at each gt's winning candidate points
+        pos_i = jnp.take_along_axis(
+            pts_i_flat, cand_idx.reshape(B, K * P)[..., None], 1
+        ).reshape(B * K * P, -1)
+        poly_i = jnp.broadcast_to(
+            gt_polys[:, :, None, :], (B, K, P, 8)
+        ).reshape(B * K * P, 8)
+        w_init = cand_win.reshape(-1).astype(cls.dtype)
+        gl_i = (1 - convex_giou(pos_i, poly_i)) * w_init
+        loss_init = gl_i.sum() / jnp.maximum(w_init.sum(), 1.0) * (
+            self.loss_init_cfg.get("loss_weight", 0.375)
         )
+
+        # ---- refine GIoU loss: all threshold positives, read through a
+        # static top-IoU budget (the classification loss below still sees
+        # the full assignment)
+        M = self.refine_pos_budget or min(A, 8 * K)
+        pos_r_mask = gt_inds_r > 0
+        sel_score = jnp.where(pos_r_mask, assign_r["max_overlaps"], -jnp.inf)
+        top_s, top_idx = jax.lax.top_k(sel_score, M)  # (B, M)
+        w_ref = jnp.isfinite(top_s).astype(cls.dtype).reshape(-1)
+        pos_r = jnp.take_along_axis(
+            pts_r_flat, top_idx[..., None], 1
+        ).reshape(B * M, -1)
+        sel_gt = jnp.clip(
+            jnp.take_along_axis(gt_inds_r, top_idx, 1) - 1, 0, K - 1
+        )
+        poly_r = jnp.take_along_axis(
+            gt_polys, sel_gt[..., None], 1
+        ).reshape(B * M, 8)
+        gl_r = (1 - convex_giou(pos_r, poly_r)) * w_ref
         loss_refine = gl_r.sum() / jnp.maximum(w_ref.sum(), 1.0) * (
             self.loss_refine_cfg.get("loss_weight", 1.0)
         )
 
-        # ---- classification: positives at the refine-assigned locations
-        A = cls.shape[1]
-        lbl = jnp.zeros((B, A), jnp.int32)
-        claims = jnp.where(gt_mask, best_refine, A)  # invalid -> dropped
-        lbl = lbl.at[jnp.arange(B)[:, None], claims].max(
-            jnp.where(gt_mask, gt_labels, 0), mode="drop"
-        )
+        # ---- classification from the refine assignment (reference
+        # loss_single: labels/label_weights of the refine stage, ignore
+        # band 0.3..0.4 zero-weighted, avg by refine positives)
+        lbl = assign_r["labels"]
+        lw = (gt_inds_r >= 0).astype(cls.dtype)
+        num_pos = jnp.maximum(pos_r_mask.sum(), 1).astype(cls.dtype)
         loss_cls = sigmoid_focal_loss(
-            cls, lbl,
+            cls, lbl, weight=lw,
             gamma=self.loss_cls_cfg.get("gamma", 2.0),
             alpha=self.loss_cls_cfg.get("alpha", 0.25),
             avg_factor=num_pos,

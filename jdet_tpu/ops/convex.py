@@ -169,6 +169,22 @@ def convex_iou(pointsets, gt_polys):
     return jnp.where(union > 1e-9, inter / jnp.maximum(union, 1e-9), 0.0)
 
 
+def convex_iou_chunked(pointsets, gt_polys, chunk=512):
+    """`convex_iou` computed in point chunks via `lax.map`.
+
+    Each pair's Sutherland-Hodgman clip expands the 9-point ring to a
+    144-slot buffer; at RepPoints assignment scale (~21k points x max_gt)
+    the full product would materialize GBs of intermediates. Chunking
+    bounds peak memory while keeping one compiled program.
+    """
+    n = pointsets.shape[0]
+    pad = (-n) % chunk
+    ps = jnp.pad(pointsets, ((0, pad), (0, 0)))
+    ps = ps.reshape(-1, chunk, pointsets.shape[-1])
+    out = jax.lax.map(lambda c: convex_iou(c, gt_polys), ps)
+    return out.reshape(-1, gt_polys.shape[0])[:n]
+
+
 def convex_giou(pointsets, gt_polys):
     """Aligned convex GIoU: pointsets (n, 18) vs gt_polys (n, 8).
 

@@ -31,7 +31,7 @@ def bilinear_sample_nhwc(x, sy, sx):
     row of the corner table (`corner_weights_and_rows`) — 4x fewer gather
     rows than per-corner gathers, which is what TPU gather cost tracks.
     """
-    from .pallas_gather import gather_weighted_rows
+    from .gather import gather_weighted_rows
 
     B, H, W, C = x.shape
     cw, idx = corner_weights_and_rows(sy, sx, H, W, x.dtype)
@@ -139,7 +139,7 @@ def deform_conv2d(
     sy = base_y[None] + offsets[..., 0]  # (B, Ho, Wo, kk)
     sx = base_x[None] + offsets[..., 1]
 
-    from .pallas_gather import gather_weighted_rows
+    from .gather import gather_weighted_rows
 
     cw, idx = corner_weights_and_rows(sy, sx, H, W, x.dtype)
     # cw (B, Ho, Wo, kk, 4); idx (B, Ho, Wo, kk)

@@ -169,7 +169,7 @@ def roi_align_rotated_multilevel(
     cw, local_rows = corner_weights_and_rows(
         sy, sx, ex(Hl), ex(Wl), table.dtype
     )
-    from .pallas_gather import gather_weighted_rows
+    from .gather import gather_weighted_rows
 
     idx = ex(base) + local_rows
     T = table.shape[1]

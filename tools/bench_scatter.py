@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from jdet_tpu.ops.pallas_gather import gather_weighted_rows, set_scatter_mode
+from jdet_tpu.ops.gather import gather_weighted_rows, set_scatter_mode
 
 
 def bench_mode(mode, B=8, H=128, W=128, C=256, KK=9, n=10, dtype=jnp.bfloat16):
