@@ -175,25 +175,79 @@ def _refilter_to_base(filt):
     return np.ascontiguousarray(f[:, 0])  # (O, I, 8, k, k)
 
 
-def reresnet_to_flat(sd):
+def _ds_rename(k):
+    """Reference downsample Sequential(conv1x1, norm) -> our .conv/.bn."""
+    return re.sub(r"\.downsample\.0\.", ".downsample.conv.",
+                  re.sub(r"\.downsample\.1\.", ".downsample.bn.", k))
+
+
+def _expand_r2conv_weights(key, coeff, shapes):
+    """Expand R2Conv basis coefficients (`<conv>.weights`, saved by
+    train-mode reference checkpoints, e2conv.py:258) into the full
+    filter tensor through the exact C8 steerable basis
+    (equivariant/c8_basis.py). `shapes` maps our target paths to the
+    model's parameter shapes (from flat_paths) so the conv geometry
+    (fields in/out, kernel size, lifting vs regular) can be recovered
+    from the flat coefficient vector."""
+    from .equivariant.c8_basis import expand_filter
+
+    base = key[: -len(".weights")]
+    ours = _ds_rename(f"{base}.weight")
+    shape = shapes.get(ours)
+    if shape is None:
+        raise KeyError(
+            f"{key}: basis-coefficient conv has no target param {ours}")
+    if len(shape) == 5:  # regular REConv2d (O, I, 8, k, k)
+        of, infl, _, k, _ = shape
+        return expand_filter(coeff, int(k), out_fields=int(of),
+                             in_fields=int(infl), in_kind="regular")
+    of, in_ch, k, _ = shape  # lifting stem (O, in_ch, k, k)
+    return expand_filter(coeff, int(k), out_fields=int(of),
+                         in_fields=int(in_ch), in_kind="trivial")
+
+
+def reresnet_to_flat(sd, shapes=None):
     """Reference ReResNet state dict -> our paths.
 
-    Requires the R2Conv `filter` buffers (populated by any eval() pass;
-    jdet's jittor port keeps them as attributes, e2conv.py:255). The
-    steerable-basis `weights` coefficients are NOT used — raise if the
-    filters are absent or all-zero.
+    Prefers the R2Conv `filter` buffers (populated by any eval() pass;
+    jdet's jittor port keeps them as attributes, e2conv.py:255). When a
+    conv has no usable filter — a train-mode checkpoint carries only the
+    steerable-basis `weights` coefficients — the filter is rebuilt
+    through the exact C8 basis (`equivariant/c8_basis.py`), which needs
+    the target parameter `shapes` (supplied by backbone_to_flat).
     """
-    out = {}
+    filters = {}
     for key, v in sd.items():
         if key.endswith(".filter"):
             filt = _np(v)
-            if not np.any(filt):
+            if np.any(filt):
+                filters[key[: -len(".filter")]] = filt
+    for key, v in sd.items():
+        if key.endswith(".weights"):
+            base = key[: -len(".weights")]
+            if base in filters:
+                continue
+            if shapes is None:
                 raise ValueError(
-                    f"{key}: filter buffer is all-zero — re-save the "
-                    "reference checkpoint after one eval() pass so the "
-                    "expanded filters are materialized"
+                    f"{key}: checkpoint has basis coefficients but no "
+                    "materialized filter, and no target shapes were "
+                    "given — convert via load_pretrained_backbone / "
+                    "backbone_to_flat(backbone, sd)"
                 )
+            filters[base] = _expand_r2conv_weights(key, _np(v), shapes)
+
+    out = {}
+    for key in list(sd) + [f"{b}.filter" for b in filters
+                           if f"{b}.filter" not in sd]:
+        if key.endswith(".filter"):
             base = key[: -len(".filter")]
+            filt = filters.get(base)
+            if filt is None:
+                raise ValueError(
+                    f"{key}: filter buffer is all-zero and no basis "
+                    "coefficients are present — re-save the reference "
+                    "checkpoint after one eval() pass"
+                )
             if filt.shape[1] % N_ORIENT:  # lifting conv (trivial input)
                 O = filt.shape[0] // N_ORIENT
                 w = filt.reshape(O, N_ORIENT, filt.shape[1], *filt.shape[2:])
@@ -206,15 +260,9 @@ def reresnet_to_flat(sd):
                 continue
             d = {"weight": "scale", "bias": "bias",
                  "running_mean": "mean", "running_var": "var"}[post]
-            out[f"{pre}.bn.{d}"] = _np(v)
-        # steerable-basis coefficients / index buffers: regenerated
-    # reference downsample Sequential(conv1x1, norm) -> our .conv/.bn
-    out = {
-        re.sub(r"\.downsample\.0\.", ".downsample.conv.",
-               re.sub(r"\.downsample\.1\.", ".downsample.bn.", k)): v
-        for k, v in out.items()
-    }
-    return out
+            out[f"{pre}.bn.{d}"] = _np(sd[key])
+        # index buffers: regenerated
+    return {_ds_rename(k): v for k, v in out.items()}
 
 
 # ---------------------------------------------------------------------------
@@ -287,7 +335,13 @@ def backbone_to_flat(backbone, sd):
     """Pick the converter matching the backbone module class."""
     name = type(backbone).__name__
     if name in ("ReResNet",):
-        return reresnet_to_flat(sd)
+        _, params = flat_paths(backbone)
+        shapes = {
+            p: tuple(np.shape(v.get_value() if hasattr(v, "get_value")
+                              else v))
+            for p, v in params.items()
+        }
+        return reresnet_to_flat(sd, shapes=shapes)
     if name in ("LSKNet", "StripNet"):
         return lsknet_to_flat(sd)
     if name in ("SSDVGG",):
