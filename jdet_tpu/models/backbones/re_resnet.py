@@ -119,10 +119,39 @@ class ReResNet(nnx.Module):
             [self.layer1, self.layer2, self.layer3, self.layer4], start=1
         ):
             st = bn_train and i > self.frozen_stages
-            for blk in stage:
-                x = blk(x, st)
+            x = self._run_stage(stage, x, st)
             if train and i <= self.frozen_stages:
                 x = jax.lax.stop_gradient(x)
             if f"layer{i}" in self.return_stages:
                 outs.append(x)
         return tuple(outs)
+
+    @staticmethod
+    def _run_stage(stage, x, st):
+        """Run one stage. Blocks 1..n-1 are structurally identical
+        (stride 1, no downsample), so when batch-norm state is frozen
+        (norm_eval — every shipped ReDet config) they run as ONE
+        lax.scan body over stacked per-block params instead of n-1
+        unrolled copies. This exists for COMPILE time, not run time: the
+        ReDet-50 train step carries an 8x ARF weight-expansion subgraph
+        per equivariant conv, and unrolling 16 bottlenecks made it a
+        ~20-minute XLA compile over the axon tunnel (round-4 bench had
+        to budget it out). Scanning dedupes the stage body; identical
+        math, identical params/optimizer layout (stacking happens at
+        trace time inside the graph)."""
+        x = stage[0](x, st)
+        rest = list(stage)[1:]
+        if st or len(rest) < 2:
+            for blk in rest:
+                x = blk(x, st)
+            return x
+        graphdef, state0 = nnx.split(rest[0])
+        states = [state0] + [nnx.split(b)[1] for b in rest[1:]]
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+
+        def body(h, blk_state):
+            blk = nnx.merge(graphdef, blk_state)
+            return blk(h, False), None
+
+        x, _ = jax.lax.scan(body, x, stacked)
+        return x

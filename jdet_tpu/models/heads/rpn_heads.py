@@ -4,7 +4,7 @@ Capability mirrors of the reference proposal heads
 (`python/jdet/models/roi_heads/rpn_head.py`,
 `oriented_rpn_head.py:10-492`): a shared 3x3 conv followed by 1x1
 objectness and regression convs over horizontal anchors; proposals are
-per-level top-k -> decode -> level-offset NMS on enclosing hbbs -> top
+per-level top-k -> decode -> per-level NMS on enclosing hbbs -> top
 nms_post (oriented_rpn_head.py:128-229). The oriented variant regresses
 the 6-parameter midpoint offsets and emits rotated proposals.
 
@@ -192,7 +192,7 @@ class _RPNBase(nnx.Module):
         anchors_per_level = self._level_anchors(featmap_sizes)
         B = outs[0][0].shape[0]
 
-        cand_boxes, cand_scores, cand_level = [], [], []
+        cand_boxes, cand_scores = [], []
         for lvl, (cls, reg) in enumerate(outs):
             scores = jax.nn.sigmoid(cls.reshape(B, -1))
             deltas = reg.reshape(B, -1, self.reg_dim)
@@ -207,14 +207,12 @@ class _RPNBase(nnx.Module):
             boxes = self._decode(anchors_b, deltas)
             cand_boxes.append(boxes)
             cand_scores.append(scores)
-            cand_level.append(
-                jnp.full(scores.shape, lvl, jnp.float32)
-            )
         boxes = jnp.concatenate(cand_boxes, 1)
         scores = jnp.concatenate(cand_scores, 1)
-        levels = jnp.concatenate(cand_level, 1)
 
-        def _one(boxes, scores, levels):
+        level_sizes = [s.shape[1] for s in cand_scores]
+
+        def _one(boxes, scores):
             hbb = self._proposal_hbb(boxes)
             if self.min_bbox_size >= 0:
                 if boxes.shape[-1] == 5:
@@ -226,12 +224,33 @@ class _RPNBase(nnx.Module):
             else:
                 size_ok = jnp.ones(boxes.shape[0], bool)
             if self.cross_level_nms:
-                hbb_off = hbb
+                _, keep_o = nms(hbb, scores, self.nms_thresh, valid=size_ok)
+                order = jnp.argsort(-jnp.where(size_ok, scores, -jnp.inf))
+                keep = keep_o
             else:
-                # level-offset trick: NMS within levels independently
-                span = hbb.max() - hbb.min() + 1.0
-                hbb_off = hbb + (levels * span)[:, None]
-            order, keep = nms(hbb_off, scores, self.nms_thresh, valid=size_ok)
+                # NMS within levels independently (reference per-level
+                # loop, rpn_head.py). Levels can never suppress each
+                # other, so the n_total^2 IoU matrix of the offset-trick
+                # formulation decomposes EXACTLY into one <=nms_pre^2
+                # matrix per level — at the 1024^2/5-level config this
+                # replaces an 8768^2 pairwise block (2.5 GB of f32
+                # intermediates per 4-image batch, the single largest
+                # allocation of the Oriented R-CNN train step) with five
+                # <=2000^2 ones.
+                keep_parts = []
+                off = 0
+                for nl in level_sizes:
+                    sl = slice(off, off + nl)
+                    o_l, k_l = nms(hbb[sl], scores[sl], self.nms_thresh,
+                                   valid=size_ok[sl])
+                    # map keep flags back to pre-sort positions
+                    keep_parts.append(
+                        jnp.zeros((nl,), bool).at[o_l].set(k_l))
+                    off += nl
+                keep_pre = jnp.concatenate(keep_parts)
+                s = jnp.where(size_ok, scores, -jnp.inf)
+                order = jnp.argsort(-s)
+                keep = keep_pre[order]
             sel = jnp.argsort(~keep, stable=True)[: self.nms_post]
             idx = order[sel]
             v = keep[sel]
@@ -241,7 +260,7 @@ class _RPNBase(nnx.Module):
                 v,
             )
 
-        p_boxes, p_scores, p_valid = jax.vmap(_one)(boxes, scores, levels)
+        p_boxes, p_scores, p_valid = jax.vmap(_one)(boxes, scores)
         return {"boxes": p_boxes, "scores": p_scores, "valid": p_valid}
 
 

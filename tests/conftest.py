@@ -59,7 +59,8 @@ def _isolate_compute_dtype():
 def pytest_collection_modifyitems(config, items):
     for item in items:
         mod = item.module.__name__.rsplit(".", 1)[-1]
-        if mod in _QUICK_MODULES:
+        if mod in _QUICK_MODULES and item.get_closest_marker(
+                "notquick") is None:
             item.add_marker(pytest.mark.quick)
         if mod in _SLOW_MODULES:
             item.add_marker(pytest.mark.slow)

@@ -71,6 +71,9 @@ def test_convex_giou_and_grad():
     assert np.abs(arr).sum() > 0
 
 
+@pytest.mark.notquick  # 45-450 s on the 1-core CI host; the
+# quick tier budget is 10 min (pyproject.toml) and this runs in
+# the default tier instead
 def test_giou_improves_under_gd():
     """Gradient descent on 1-GIoU should pull a point set onto the gt."""
     quad = jnp.asarray([[20, 20, 60, 20, 60, 50, 20, 50]], jnp.float32)
@@ -100,6 +103,9 @@ def test_min_area_rect():
     assert abs(np.cos(2 * (out[4] - 0.5)) - 1) < 1e-3
 
 
+@pytest.mark.notquick  # 45-450 s on the 1-core CI host; the
+# quick tier budget is 10 min (pyproject.toml) and this runs in
+# the default tier instead
 def test_reppoints_head_end_to_end():
     from jdet_tpu.models.builder import build_detector
 

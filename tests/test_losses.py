@@ -1,5 +1,6 @@
 import numpy as np
 import jax
+import pytest
 import jax.numpy as jnp
 
 from jdet_tpu.models.losses import (
@@ -203,6 +204,8 @@ def test_kld_compat_ref_matches_reference_quirk():
     assert not np.allclose(plain, want, rtol=1e-2)
 
 
+@pytest.mark.notquick  # ~45 s on the 1-core CI host; the quick tier
+# budget is 10 min (pyproject.toml) — runs in the default tier
 def test_poly_iou_loss_matches_rotated_iou_oracle():
     """Differentiable quad-clip IoU == exact Green's-theorem rotated IoU
     (reference poly_iou_loss vs box_iou_rotated are two routes to the

@@ -177,3 +177,69 @@ def test_oriented_rcnn_train_step(model):
         l = float(step(model, opt, images, targets))
     assert np.isfinite(l)
     assert l < l0 * 1.5
+
+
+# ------------------------------------------------- per-level proposal NMS
+
+
+def test_per_level_proposal_nms_matches_offset_trick():
+    """get_proposals decomposes NMS per pyramid level (levels never
+    suppress each other). Must match the offset-trick formulation — one
+    global NMS on boxes diagonally shifted per level — bit for bit."""
+    from jdet_tpu.models.heads.rpn_heads import OrientedRPNHead
+    from jdet_tpu.ops.nms import nms
+
+    head = OrientedRPNHead(in_channels=8, feat_channels=8,
+                           nms_pre=64, nms_post=48, rngs=nnx.Rngs(0))
+    r = np.random.RandomState(3)
+    B = 2
+    outs = []
+    for hw in (16, 8, 4):
+        cls = r.randn(B, hw, hw, 3).astype(np.float32)
+        reg = r.randn(B, hw, hw, 3 * 6).astype(np.float32) * 0.3
+        outs.append((jnp.asarray(cls), jnp.asarray(reg)))
+    got = jax.jit(head.get_proposals)(outs)
+
+    # --- oracle: the offset-trick global NMS over the same candidates
+    featmap_sizes = [o[0].shape[1:3] for o in outs]
+    anchors_per_level = head._level_anchors(featmap_sizes)
+    cand_b, cand_s, cand_l = [], [], []
+    for lvl, (cls, reg) in enumerate(outs):
+        scores = jax.nn.sigmoid(cls.reshape(B, -1))
+        deltas = reg.reshape(B, -1, head.reg_dim)
+        anchors = anchors_per_level[lvl]
+        n_lvl = anchors.shape[0]
+        if head.nms_pre > 0 and n_lvl > head.nms_pre:
+            scores, topk = jax.lax.top_k(scores, head.nms_pre)
+            deltas = jnp.take_along_axis(deltas, topk[..., None], 1)
+            anchors_b = anchors[topk]
+        else:
+            anchors_b = jnp.broadcast_to(anchors, (B, n_lvl, 4))
+        cand_b.append(head._decode(anchors_b, deltas))
+        cand_s.append(scores)
+        cand_l.append(jnp.full(scores.shape, lvl, jnp.float32))
+    boxes = jnp.concatenate(cand_b, 1)
+    scores = jnp.concatenate(cand_s, 1)
+    levels = jnp.concatenate(cand_l, 1)
+
+    def _one(boxes, scores, levels):
+        hbb = head._proposal_hbb(boxes)
+        w, h = boxes[:, 2], boxes[:, 3]
+        size_ok = (w > head.min_bbox_size) & (h > head.min_bbox_size)
+        span = hbb.max() - hbb.min() + 1.0
+        hbb_off = hbb + (levels * span)[:, None]
+        order, keep = nms(hbb_off, scores, head.nms_thresh, valid=size_ok)
+        sel = jnp.argsort(~keep, stable=True)[: head.nms_post]
+        idx = order[sel]
+        v = keep[sel]
+        return (jnp.where(v[:, None], boxes[idx], 0.0),
+                jnp.where(v, scores[idx], 0.0), v)
+
+    eb, es, ev = jax.vmap(_one)(boxes, scores, levels)
+    np.testing.assert_array_equal(np.asarray(got["valid"]), np.asarray(ev))
+    np.testing.assert_array_equal(np.asarray(got["scores"]),
+                                  np.asarray(es))
+    # same kept set/order; box values only differ by jit-vs-eager fusion
+    # rounding in the decode (the oracle decodes outside the jit)
+    np.testing.assert_allclose(np.asarray(got["boxes"]),
+                               np.asarray(eb), rtol=1e-5, atol=2e-5)

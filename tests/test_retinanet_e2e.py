@@ -47,23 +47,25 @@ def synthetic_batch(B=2, size=128, K=8):
     })
 
 
-def test_train_loss_finite(model):
+def test_train_loss_finite_and_grads_flow(model):
+    # one jitted program computes losses AND grads (eagerly these two
+    # checks took 150 s of the quick tier's 10-min budget on 1 core)
     images, targets = synthetic_batch()
-    losses = model.loss(images, targets)
+
+    @nnx.jit
+    def losses_and_grads(m):
+        def total(m):
+            losses = m.loss(images, targets)
+            return losses["loss_cls"] + losses["loss_bbox"], losses
+
+        (_, losses), grads = nnx.value_and_grad(total, has_aux=True)(m)
+        return losses, grads
+
+    losses, grads = losses_and_grads(model)
     assert set(losses) == {"loss_cls", "loss_bbox"}
     for k, v in losses.items():
         assert np.isfinite(float(v)), k
     assert float(losses["loss_cls"]) > 0
-
-
-def test_loss_grads_flow(model):
-    images, targets = synthetic_batch()
-
-    def total(m):
-        losses = m.loss(images, targets)
-        return losses["loss_cls"] + losses["loss_bbox"]
-
-    grads = nnx.grad(total)(model)
     leaves = jax.tree_util.tree_leaves(grads)
     assert leaves
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)

@@ -42,9 +42,11 @@ def main():
     step, flops = _aot_compile(step, state, images, targets)
     print(f"compile: {time.perf_counter() - t0:.1f} s, flops/step {flops/1e12:.2f} TF")
     dt, state = _timeit_train(step, state, images, targets, n)
+    loss, _ = step(state, images, targets)
     print(
         f"{row} B={B} scatter={mode}: {dt*1e3:.1f} ms/step, "
-        f"{B/dt:.2f} tiles/s, MFU {flops/dt/V5E_BF16_PEAK:.3f}"
+        f"{B/dt:.2f} tiles/s, MFU {flops/dt/V5E_BF16_PEAK:.3f}, "
+        f"loss {float(jax.device_get(loss)):.4f}"
     )
 
 
