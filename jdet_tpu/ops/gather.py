@@ -35,10 +35,20 @@ import jax.numpy as jnp
 
 
 def _xla_gather_weighted(table, idx, w):
-    C = table.shape[-1] // w.shape[-1]
+    J = w.shape[-1]
+    C = table.shape[-1] // J
     g = jnp.take(table, idx, axis=0)
-    g = g.reshape(*idx.shape, w.shape[-1], C)
-    return (g * w[..., None].astype(g.dtype)).sum(-2)
+    # weight the J corner groups via SLICES of the flat (S, J*C) layout:
+    # reshaping to (S, J, C) changes the TPU tiling (T(8,128) ->
+    # T(4,128)) and XLA materializes a full physical copy — at the
+    # Oriented R-CNN B=16 RoI shape that copy is a second 3.06 GB HLO
+    # temp (it OOM'd the step). Slices keep the gather's layout and fuse
+    # into the multiply-add.
+    w = w.astype(g.dtype)
+    out = g[..., 0 * C:1 * C] * w[..., 0:1]
+    for j in range(1, J):
+        out = out + g[..., j * C:(j + 1) * C] * w[..., j:j + 1]
+    return out
 
 
 # Backward d_table scatter strategy (the single largest op of the S2ANet
