@@ -379,3 +379,45 @@ def test_coco_ignored_gt_absorbs_match_without_fp():
     # is unmatched AND outside the range it is ignored -> AP_large = 1.0
     assert out["mAP_large"] == pytest.approx(1.0, abs=1e-6)
     assert out["mAP_small"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_draw_bboxes_routes_and_gt_vis(tmp_path):
+    """draw_bboxes width routing (4/5/8) + score sort/threshold, and the
+    DOTA-GT visualizer flow (reference utils/draw.py:261-344,
+    utils/visualization.py:20-54)."""
+    import cv2
+    from jdet_tpu.utils.visualization import draw_bboxes, visualize_gt
+
+    img = np.zeros((64, 64, 3), np.uint8)
+    hbb = np.array([[8, 8, 30, 24]], np.float32)
+    obb = np.array([[32, 32, 20, 10, 0.4]], np.float32)
+    poly = rect_poly(48, 48, 16, 8)[None]
+    for boxes in (hbb, obb, poly):
+        out = draw_bboxes(img, boxes, labels=np.array([1]),
+                          scores=np.array([0.9]), class_names=["a", "b"])
+        assert out.shape == img.shape and (out > 0).any()
+    # score_thr filters everything -> untouched canvas
+    out = draw_bboxes(img, hbb, scores=np.array([0.1]), score_thr=0.5)
+    assert not (out > 0).any()
+    # single named color applies to all classes
+    out = draw_bboxes(img, hbb, colors="green", with_text=False)
+    assert (out[..., 1] > 0).any() and not (out[..., 0] > 0).any()
+
+    # GT visualizer over a tiny on-disk dataset
+    import pickle
+    from jdet_tpu.data.dota import DOTADataset
+
+    img_dir = tmp_path / "images"
+    img_dir.mkdir()
+    cv2.imwrite(str(img_dir / "t0.png"), np.zeros((64, 64, 3), np.uint8))
+    infos = [{"filename": "t0.png", "width": 64, "height": 64,
+              "ann": {"bboxes": obb, "labels": np.array([1], np.int32),
+                      "bboxes_ignore": np.zeros((0, 5), np.float32)}}]
+    ann = tmp_path / "labels.pkl"
+    ann.write_bytes(pickle.dumps(infos))
+    ds = DOTADataset(version="1", annotations_file=str(ann),
+                     images_dir=str(img_dir), transforms=[],
+                     image_size=(64, 64), max_gt=4, batch_size=1)
+    written = visualize_gt(ds, str(tmp_path / "vis"))
+    assert len(written) == 1
+    assert (cv2.imread(written[0]) > 0).any()
