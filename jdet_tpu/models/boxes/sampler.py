@@ -21,15 +21,29 @@ def pseudo_sample(assign):
     }
 
 
-def _rank_select(mask, num_expected, key):
+def _rank_select(mask, num_expected, key, cap=None):
     """Select up to `num_expected` True entries of `mask` uniformly at
-    random; returns the selected boolean mask (fixed shape)."""
+    random; returns the selected boolean mask (fixed shape).
+
+    `cap` is a STATIC upper bound on num_expected (the sampler budget).
+    With it, selection is top_k(cap) + a cap-row scatter instead of a
+    full argsort + an n-row inverse-permutation scatter — at the RPN's
+    65k anchors x B=16 the old form cost ~21 ms/step (sampler scatter +
+    <sort>, Oriented R-CNN round-5 profile). Semantics are identical:
+    top_k and argsort(-pri) break ties by lower index alike, and the
+    trailing `& mask` drops -inf-priority rows when num_expected exceeds
+    the candidate count (as rank < num_expected did)."""
     n = mask.shape[0]
     pri = jax.random.uniform(key, (n,))
     pri = jnp.where(mask, pri, -1.0)
-    order = jnp.argsort(-pri)  # selected candidates first, random order
-    rank = jnp.empty_like(order).at[order].set(jnp.arange(n))
-    return mask & (rank < num_expected)
+    if cap is None or cap >= n:
+        order = jnp.argsort(-pri)  # selected candidates first, random order
+        rank = jnp.empty_like(order).at[order].set(jnp.arange(n))
+        return mask & (rank < num_expected)
+    _, idx = jax.lax.top_k(pri, cap)
+    take = jnp.arange(cap) < num_expected
+    sel = jnp.zeros((n,), bool).at[idx].set(take)
+    return mask & sel
 
 
 def random_sample(
@@ -51,14 +65,16 @@ def random_sample(
     num_expected_pos = jnp.minimum(
         jnp.int32(num * pos_fraction), pos_all.sum()
     )
-    pos_mask = _rank_select(pos_all, num_expected_pos, kp)
+    pos_mask = _rank_select(
+        pos_all, num_expected_pos, kp, cap=int(num * pos_fraction)
+    )
     num_sampled_pos = pos_mask.sum()
 
     num_expected_neg = num - num_sampled_pos
     if neg_pos_ub >= 0:
         ub = neg_pos_ub * jnp.maximum(1, num_sampled_pos)
         num_expected_neg = jnp.minimum(num_expected_neg, ub)
-    neg_mask = _rank_select(neg_all, num_expected_neg, kn)
+    neg_mask = _rank_select(neg_all, num_expected_neg, kn, cap=num)
     return {
         "pos_mask": pos_mask,
         "neg_mask": neg_mask,

@@ -162,13 +162,17 @@ class _RPNBase(nnx.Module):
             avg_factor=num_total,
         )
 
-        # re-encode regression targets against the matched rotated/h gts
+        # re-encode regression targets against the matched rotated/h gts.
+        # one-hot matmul, not a row gather: take_along_axis here is a
+        # (B*n)-row gather from a K=32-row table — per-row transaction
+        # cost made it 27 ms/step of the Oriented R-CNN B=16 profile;
+        # the (B, n, K) @ (B, K, d) contraction is <1 ms on the MXU
+        # (same trade as anchor_target.py, HIGHEST to keep f32 coords).
         gt_reg = self._gt_for_reg(targets)  # (B, K, d)
         k = gt_reg.shape[1]
         safe = jnp.clip(tgt["gt_inds"] - 1, 0, k - 1)
-        matched = jnp.take_along_axis(
-            gt_reg, safe[..., None], axis=1
-        )
+        oh = jax.nn.one_hot(safe, k, dtype=gt_reg.dtype)
+        matched = jnp.matmul(oh, gt_reg, precision=jax.lax.Precision.HIGHEST)
         enc = self._encode(jnp.broadcast_to(anchors, (B, n, 4)), matched)
         pos = tgt["pos_mask"]
         loss_reg = smooth_l1_loss(

@@ -110,10 +110,24 @@ def max_pool(x, window, stride, padding="SAME"):
 
 
 def resize_nearest(x, size):
-    """Nearest-neighbor resize of NHWC to (H, W) = size (FPN top-down)."""
-    return jax.image.resize(
-        x, (x.shape[0], size[0], size[1], x.shape[3]), method="nearest"
-    )
+    """Nearest-neighbor resize of NHWC to (H, W) = size (FPN top-down).
+
+    Integer upscales (the FPN/YOLO 2x case) go through broadcast+reshape:
+    jax.image.resize lowers nearest as a gather per axis, which on TPU
+    pays per-row transaction cost — 15 ms/step of the Oriented R-CNN
+    B=16 profile was these top-down upsamples (round-5 profile). The
+    broadcast form is a pure layout op XLA fuses into the consumer."""
+    B, H, W, C = x.shape
+    oh, ow = size
+    if oh % H == 0 and ow % W == 0:
+        fy, fx = oh // H, ow // W
+        if (fy, fx) == (1, 1):
+            return x
+        x = jnp.broadcast_to(
+            x[:, :, None, :, None, :], (B, H, fy, W, fx, C)
+        )
+        return x.reshape(B, oh, ow, C)
+    return jax.image.resize(x, (B, oh, ow, C), method="nearest")
 
 
 def resize_bilinear(x, size, align_corners=False):

@@ -34,8 +34,9 @@ def bilinear_sample_nhwc(x, sy, sx):
     from .gather import gather_weighted_rows
 
     B, H, W, C = x.shape
-    cw, idx = corner_weights_and_rows(sy, sx, H, W, x.dtype)
-    T = (H + 1) * (W + 1)
+    pitch = _pitch8(W)
+    cw, idx = corner_weights_and_rows(sy, sx, H, W, x.dtype, pitch=pitch)
+    T = (H + 1) * pitch
     xqt = _corner_table(x).reshape(B * T, 4 * C)
     boff = jnp.arange(B, dtype=jnp.int32).reshape(
         (B,) + (1,) * (idx.ndim - 1)
@@ -45,13 +46,27 @@ def bilinear_sample_nhwc(x, sy, sx):
     return out.reshape(*idx.shape, C)
 
 
-def corner_weights_and_rows(sy, sx, H, W, dtype):
+def _pitch8(W):
+    """Row pitch of the corner table: W+1 columns rounded up to a multiple
+    of 8. With the row count of every (H+1, pitch) table plane a multiple
+    of 8, the (B, H+1, pitch, 4C) -> (B*T, 4C) flattens downstream are
+    layout-preserving (TPU tiles of 8 sublanes never straddle a plane
+    boundary) and XLA lowers them as bitcasts. With the natural W+1 pitch
+    (odd for even W) each flatten materialized a physical copy of the
+    whole table — 23.5 ms/step of the Oriented R-CNN B=16 profile was one
+    such 2.9 GB copy (docs/performance.md round-5 profile)."""
+    return (W + 1 + 7) // 8 * 8
+
+
+def corner_weights_and_rows(sy, sx, H, W, dtype, pitch=None):
     """Bilinear corner weights (..., 4) with border masks folded in, and
     the corner-table row index (...,) for samples sy/sx.
 
     H/W may be scalars or arrays broadcastable to sy/sx (per-sample
     feature dims — used by the multi-level RoI extractor where each RoI
-    lives on its own FPN level)."""
+    lives on its own FPN level). `pitch` is the corner-table row pitch
+    (defaults to the unpadded W+1; pass _pitch8(W) when the table is
+    built by _corner_table)."""
     y0 = jnp.floor(sy)
     x0 = jnp.floor(sx)
     wy = (sy - y0).astype(dtype)
@@ -64,27 +79,33 @@ def corner_weights_and_rows(sy, sx, H, W, dtype):
     cw = jnp.stack([w00, w01, w10, w11], -1)
     yq = jnp.clip(y0.astype(jnp.int32) + 1, 0, H)
     xq = jnp.clip(x0.astype(jnp.int32) + 1, 0, W)
-    return cw, yq * (W + 1) + xq
+    if pitch is None:
+        pitch = W + 1
+    return cw, yq * pitch + xq
 
 
 def _corner_table(x):
     """Pack the 2x2 bilinear corner neighborhood into channels.
 
-    Returns xq (B, H+1, W+1, 4C) over the 1-padded grid: row (yq, xq)
-    holds [x[y, x], x[y, x+1], x[y+1, x], x[y+1, x+1]] for the unpadded
-    base corner (y, x) = (yq - 1, xq - 1); out-of-image corners are zero.
+    Returns xq (B, H+1, _pitch8(W), 4C) over the 1-padded grid: row
+    (yq, xq) holds [x[y, x], x[y, x+1], x[y+1, x], x[y+1, x+1]] for the
+    unpadded base corner (y, x) = (yq - 1, xq - 1); out-of-image corners
+    are zero. Columns beyond W+1 are zero padding for the 8-multiple row
+    pitch (see _pitch8) and are never indexed (xq <= W).
 
     One gathered row then yields all 4 bilinear corners of a sample —
     4x fewer gather rows than per-corner gathers, and TPU gather cost is
     per-row dominated (each row is a contiguous 4C-channel DMA).
     """
     B, H, W, C = x.shape
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    pad_r = _pitch8(W) - (W + 1) + 1  # right pad: +1 border, then to pitch
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, pad_r), (0, 0)))
+    Wp = xp.shape[2]
     return jnp.concatenate(
         [
-            xp[:, : H + 1, : W + 1],
+            xp[:, : H + 1, : Wp - 1],
             xp[:, : H + 1, 1:],
-            xp[:, 1:, : W + 1],
+            xp[:, 1:, : Wp - 1],
             xp[:, 1:, 1:],
         ],
         axis=-1,
@@ -141,12 +162,13 @@ def deform_conv2d(
 
     from .gather import gather_weighted_rows
 
-    cw, idx = corner_weights_and_rows(sy, sx, H, W, x.dtype)
+    pitch = _pitch8(W)
+    cw, idx = corner_weights_and_rows(sy, sx, H, W, x.dtype, pitch=pitch)
     # cw (B, Ho, Wo, kk, 4); idx (B, Ho, Wo, kk)
     if mask is not None:
         cw = cw * mask[..., None].astype(cw.dtype)
 
-    T = (H + 1) * (W + 1)
+    T = (H + 1) * pitch
     xqt = _corner_table(x).reshape(B * T, 4 * C)
     rows = (idx + jnp.arange(B, dtype=jnp.int32)[:, None, None, None] * T)
     # fused gather + corner weighting: the (B, S, 4, C) intermediate of

@@ -70,13 +70,18 @@ def rotate_arf(weight, src_indices):
     orn.py:30-46).
     """
     O, I, nOr, kh, kw = weight.shape
-    nRot = src_indices.shape[0]
-    flat = weight.reshape(O, I, nOr * kh * kw)
-    # (O, I, nRot, nEntry)
-    rot = flat[:, :, jnp.asarray(src_indices)]
-    rot = rot.reshape(O, I, nRot, nOr, kh, kw)
+    nRot, n_entry = src_indices.shape
+    # gather along the MAJOR axis: entry-major layout turns the expansion
+    # into nRot*nEntry (= 576 for C8/3x3) row gathers of (O*I)-wide rows.
+    # The minor-axis form flat[:, :, src] gathered every weight ELEMENT
+    # as its own transaction — at ReDet's live train-time expansion that
+    # was a visible slice of the step (round-5 profile); this form is
+    # ~free, and its VJP is an equally cheap 576-row scatter-add.
+    ent = weight.reshape(O * I, n_entry).T  # (nEntry, O*I)
+    rot = jnp.take(ent, jnp.asarray(src_indices).reshape(-1), axis=0)
+    rot = rot.reshape(nRot, nOr, kh, kw, O, I)
     # -> (kh, kw, I, nOr, O, nRot) -> HWIO
-    rot = rot.transpose(4, 5, 1, 3, 0, 2)
+    rot = rot.transpose(2, 3, 5, 1, 4, 0)
     return rot.reshape(kh, kw, I * nOr, O * nRot)
 
 

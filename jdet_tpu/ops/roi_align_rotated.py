@@ -134,23 +134,26 @@ def roi_align_rotated_multilevel(
       strides: per-level image-to-feature stride list.
     Returns (B, R, P, P, C).
     """
-    from .deform_conv import _corner_table, corner_weights_and_rows
+    from .deform_conv import _corner_table, _pitch8, corner_weights_and_rows
 
     B, _, _, C = feats[0].shape
-    tables, row_offs, hs, ws = [], [], [], []
+    tables, row_offs, hs, ws, pitches = [], [], [], [], []
     off = 0
     for f in feats:
         _, H, W, _ = f.shape
-        tables.append(_corner_table(f).reshape(B, (H + 1) * (W + 1), 4 * C))
+        p = _pitch8(W)
+        tables.append(_corner_table(f).reshape(B, (H + 1) * p, 4 * C))
         row_offs.append(off)
         hs.append(H)
         ws.append(W)
-        off += (H + 1) * (W + 1)
+        pitches.append(p)
+        off += (H + 1) * p
     table = jnp.concatenate(tables, axis=1)  # (B, T, 4C)
 
     stride = jnp.take(jnp.asarray(strides, jnp.float32), lvl)  # (B, R)
     Hl = jnp.take(jnp.asarray(hs, jnp.int32), lvl)
     Wl = jnp.take(jnp.asarray(ws, jnp.int32), lvl)
+    Pl = jnp.take(jnp.asarray(pitches, jnp.int32), lvl)
     base = jnp.take(jnp.asarray(row_offs, jnp.int32), lvl)
 
     # scale each RoI into ITS level's feature coords first, so the
@@ -164,25 +167,37 @@ def roi_align_rotated_multilevel(
     sy = sy - 0.5  # aligned=True half-pixel convention
     sx = sx - 0.5
     ex = lambda a: a[..., None, None, None]
-    # the helper's row formula yq*(W+1)+xq broadcasts the per-sample W,
-    # giving the right pitch within each level's table slice
+    # the helper's row formula yq*pitch+xq broadcasts the per-sample
+    # pitch, giving the right stride within each level's table slice
     cw, local_rows = corner_weights_and_rows(
-        sy, sx, ex(Hl), ex(Wl), table.dtype
+        sy, sx, ex(Hl), ex(Wl), table.dtype, pitch=ex(Pl)
     )
     from .gather import gather_weighted_rows
 
-    idx = ex(base) + local_rows
+    idx = ex(base) + local_rows  # (B, R, P, P, G)
     T = table.shape[1]
     flat = table.reshape(B * T, 4 * C)
     boff = jnp.arange(B, dtype=jnp.int32).reshape(
         (B,) + (1,) * (idx.ndim - 1)
     )
-    rows = (idx + boff * T).reshape(-1)
-    # fused gather + corner weighting (see pallas_gather)
-    out = gather_weighted_rows(flat, rows, cw.reshape(-1, 4)).reshape(
-        *idx.shape, C
+    rows = idx + boff * T
+    # one weighted gather per subsample, summed — the bin mean folds into
+    # the corner weights (cw/G). The joint form (gather all G, reshape to
+    # (..., G, C), mean(-2)) materialized the full (S, C) sample tensor
+    # AND a tile-padded (..., G=4, C) copy of it (G < the 8-sublane tile),
+    # 20 ms/step of the Oriented R-CNN B=16 profile; here each gather
+    # fuses with its multiply-add and only the (..., P, P, C) bin output
+    # exists.
+    G = rows.shape[-1]
+    cw_g = cw * (1.0 / G)
+    out = gather_weighted_rows(
+        flat, rows[..., 0].reshape(-1), cw_g[..., 0, :].reshape(-1, 4)
     )
-    out = out.mean(-2)  # average the G samples per bin
+    for t in range(1, G):
+        out = out + gather_weighted_rows(
+            flat, rows[..., t].reshape(-1), cw_g[..., t, :].reshape(-1, 4)
+        )
+    out = out.reshape(*rows.shape[:-1], C)
     if valid is not None:
         out = out * valid[..., None, None, None]
     return out
